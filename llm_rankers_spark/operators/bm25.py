@@ -1,0 +1,317 @@
+"""BM25 top-k search — native replacement for the reference's Lucene search
+step (Rank-R1/bright/search.sh:4-9; k1=0.9, b=0.4 per README.md:70).
+
+Three scoring paths over the same semantics:
+
+- ``method='wand'``    : block-max WAND posting traversal with a bounded
+  min-heap, per (query, shard) group inside ``applyInPandas`` — the scale
+  path. Shards are disjoint doc ranges, so per-shard top-k merge to global
+  top-k is exact.
+- ``method='exhaustive'``: decode-everything numpy scoring in the same
+  grouping — the in-UDF correctness reference for WAND.
+- :func:`bm25_dataframe` : pure built-in-functions DataFrame plan straight
+  from the corpus (no packed index) — Catalyst-visible end to end; this is
+  the form mirrored by the DuckDB oracle SQL in ``__spark_entry__.py``.
+
+Determinism: contributions for one doc are always summed in sorted-term
+order (same float64 op order in all three paths and in the pytest oracle),
+tie-break is (score desc, docid asc) — ordinals are docid-ordered so the
+in-UDF compare is an integer compare (SURVEY.md §7.4 hard part #1).
+
+BM25 formula (Lucene-style, exact dl instead of Lucene's quantized norms —
+documented deviation, SURVEY.md §7.1 step 4):
+  idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+  score(q, d) = Σ_t qw_t · idf_t · tf / (tf + k1·(1 - b + b·dl/avgdl))
+Repeated query terms contribute with multiplicity ``qw``.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from llm_rankers_spark.functions import codec
+from llm_rankers_spark.functions.tokenize import tokens_col
+from llm_rankers_spark.operators.index_build import InvertedIndex
+
+RESULT_SCHEMA = "qid string, ord long, score double"
+
+
+def query_terms(queries: DataFrame, mode: str) -> DataFrame:
+    """(qid, term, qw) with qw = multiplicity of the term in the query."""
+    return (
+        queries.select("qid", F.explode(tokens_col("query", mode=mode)).alias("term"))
+        .groupBy("qid", "term")
+        .agg(F.count("*").alias("qw"))
+    )
+
+
+def _idf(n_docs: int):
+    def f(df_col):
+        return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+
+    return f
+
+
+class _ListIter:
+    """Cursor over one packed posting list with block-aligned skipping."""
+
+    __slots__ = (
+        "weight", "nblocks", "blk", "pos", "docs", "tfs", "dls", "cur", "exhausted", "ub", "n",
+        "docs_blob", "tfs_blob", "dls_blob", "doc_offs", "tf_offs", "dl_offs", "block_last", "block_max_tfn",
+    )
+
+    def __init__(self, row, weight: float):
+        self.weight = weight  # qw * idf
+        self.n = int(row["n"])
+        self.docs_blob, self.tfs_blob, self.dls_blob = row["docs_blob"], row["tfs_blob"], row["dls_blob"]
+        self.doc_offs = np.asarray(row["doc_offs"], dtype=np.int64)
+        self.tf_offs = np.asarray(row["tf_offs"], dtype=np.int64)
+        self.dl_offs = np.asarray(row["dl_offs"], dtype=np.int64)
+        self.block_last = np.asarray(row["block_last"], dtype=np.int64)
+        self.block_max_tfn = np.asarray(row["block_max_tfn"], dtype=np.float64)
+        self.nblocks = self.doc_offs.shape[0]
+        self.ub = self.weight * float(self.block_max_tfn.max())  # term upper bound
+        self.blk = -1
+        self.exhausted = False
+        self._load_block(0)
+
+    def _load_block(self, i: int):
+        if i >= self.nblocks:
+            self.exhausted = True
+            self.cur = np.iinfo(np.int64).max
+            return
+        self.docs, self.tfs, self.dls = codec.unpack_block(
+            self.docs_blob, self.tfs_blob, self.dls_blob,
+            self.doc_offs, self.tf_offs, self.dl_offs, self.block_last,
+            self.n, i,
+        )
+        self.blk = i
+        self.pos = 0
+        self.cur = int(self.docs[0])
+
+    def block_max_contrib(self) -> float:
+        return self.weight * float(self.block_max_tfn[self.blk])
+
+    def block_last_doc(self) -> int:
+        return int(self.block_last[self.blk])
+
+    def advance_to(self, target: int):
+        """Move cursor to first doc >= target (block skip + binary search)."""
+        if self.exhausted or self.cur >= target:
+            return
+        if self.block_last[self.blk] < target:
+            # skip whole blocks using the block_last skip pointers
+            j = int(np.searchsorted(self.block_last, target, side="left"))
+            self._load_block(j)
+            if self.exhausted:
+                return
+        p = int(np.searchsorted(self.docs[self.pos :], target, side="left")) + self.pos
+        if p >= self.docs.size:
+            self._load_block(self.blk + 1)
+        else:
+            self.pos = p
+            self.cur = int(self.docs[p])
+
+    def next(self):
+        self.pos += 1
+        if self.pos >= self.docs.size:
+            self._load_block(self.blk + 1)
+        else:
+            self.cur = int(self.docs[self.pos])
+
+    def contrib(self, k1: float, b: float, avgdl: float) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        return self.weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def _score_group_exhaustive(pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float) -> pd.DataFrame:
+    """Decode all lists; accumulate per-doc in sorted-term order; top-k."""
+    pdf = pdf.sort_values("term")
+    all_ords, all_scores = [], []
+    for _, row in pdf.iterrows():
+        ords, tfs, dls = codec.unpack_all(
+            {"n": int(row["n"]), "docs_blob": row["docs_blob"], "tfs_blob": row["tfs_blob"], "dls_blob": row["dls_blob"]}
+        )
+        w = float(row["qw"]) * float(row["idf"])
+        tf = tfs.astype(np.float64)
+        contrib = w * tf / (tf + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+        all_ords.append(ords)
+        all_scores.append(contrib)
+    ords = np.concatenate(all_ords)
+    contribs = np.concatenate(all_scores)
+    uniq, inv = np.unique(ords, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, contribs)  # adds in concatenation order == sorted-term order
+    # top-k by (score desc, ord asc)
+    order = np.lexsort((uniq, -scores))[:k]
+    return pd.DataFrame({"qid": pdf["qid"].iloc[0], "ord": uniq[order], "score": scores[order]})
+
+
+def _score_group_wand(pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float, use_block_max: bool) -> pd.DataFrame:
+    """Block-max WAND with a bounded min-heap over one (qid, shard) group."""
+    pdf = pdf.sort_values("term")
+    iters = [
+        _ListIter(row, float(row["qw"]) * float(row["idf"]))
+        for _, row in pdf.iterrows()
+        if int(row["n"]) > 0
+    ]
+    heap: list[tuple[float, int]] = []  # (score, -ord): kth best at heap[0]
+    theta = -np.inf
+    while True:
+        live = [it for it in iters if not it.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda it: it.cur)
+        # pivot: first prefix whose ub sum reaches theta
+        acc = 0.0
+        pivot_idx = -1
+        for i, it in enumerate(live):
+            acc += it.ub
+            if acc >= theta or len(heap) < k:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # no doc can make the heap
+        pivot_doc = live[pivot_idx].cur
+        if live[0].cur == pivot_doc:
+            involved = [it for it in live if it.cur == pivot_doc]
+            if use_block_max and len(heap) >= k:
+                bm_ub = sum(it.block_max_contrib() for it in involved)
+                if bm_ub < theta or (bm_ub == theta and heap and -heap[0][1] <= pivot_doc):
+                    # The block-max bound only covers the lists at the pivot;
+                    # a doc past the pivot may also appear in a later list, so
+                    # cap the jump at the earliest other cursor (BMW d'+1 rule,
+                    # Ding & Suel 2011) as well as the nearest block boundary.
+                    nxt = min(it.block_last_doc() for it in involved) + 1
+                    others = [it.cur for it in live if it.cur > pivot_doc]
+                    if others:
+                        nxt = min(nxt, min(others))
+                    for it in involved:
+                        it.advance_to(nxt)
+                    continue
+            # full score, summed in sorted-term order (involved is term-sorted)
+            s = 0.0
+            for it in involved:
+                s += it.contrib(k1, b, avgdl)
+            entry = (s, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+                if len(heap) == k:
+                    theta = heap[0][0]
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+                theta = heap[0][0]
+            for it in involved:
+                it.next()
+        else:
+            # advance all lists before the pivot up to the pivot doc
+            for it in live[:pivot_idx]:
+                it.advance_to(pivot_doc)
+    rows = sorted(((s, -negord) for s, negord in heap), key=lambda t: (-t[0], t[1]))
+    return pd.DataFrame(
+        {"qid": pdf["qid"].iloc[0] if len(pdf) else None,
+         "ord": [o for _, o in rows],
+         "score": [s for s, _ in rows]}
+    )
+
+
+def search(
+    index: InvertedIndex,
+    queries: DataFrame,
+    k: int = 10,
+    method: str = "wand",
+    k1: float | None = None,
+    b: float | None = None,
+    tag: str = "llm_rankers_spark",
+) -> DataFrame:
+    """BM25 top-k → TREC-shaped DataFrame (qid, docid, rank, score, tag)."""
+    meta = index.meta
+    k1 = meta.k1 if k1 is None else k1
+    b = meta.b if b is None else b
+    use_block_max = method == "wand" and k1 == meta.k1 and b == meta.b
+    avgdl = meta.avgdl
+
+    qt = query_terms(queries, meta.tokenizer_mode)
+    qt = qt.join(index.term_stats.select("term", "df"), "term", "inner")
+    qt = qt.withColumn("idf", _idf(meta.n_docs)(F.col("df"))).select("qid", "term", "qw", "idf")
+
+    # postings ⋈ query terms: query side is tiny → broadcast, postings side
+    # streams shard-partitioned parquet (partition pruning on shard intact).
+    cand = index.postings.join(F.broadcast(qt), "term", "inner")
+
+    if method == "exhaustive":
+        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_group_exhaustive(pdf, k, k1, b, avgdl)
+    else:
+        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_group_wand(pdf, k, k1, b, avgdl, use_block_max)
+
+    partial = cand.groupBy("qid", "shard").applyInPandas(
+        lambda key, pdf: scorer(pdf), schema=RESULT_SCHEMA
+    )
+
+    # exact global top-k: shards are disjoint doc ranges, so the union of
+    # per-shard top-k contains the global top-k.
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ord"))
+    topk = partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    # attach docids: topk is tiny (n_queries × k) → broadcast it against the
+    # big doc_map instead of shuffling doc_map.
+    return (
+        index.doc_map.select("ord", "docid")
+        .join(F.broadcast(topk), "ord", "inner")
+        .select("qid", "docid", "rank", "score", F.lit(tag).alias("tag"))
+    )
+
+
+def bm25_dataframe(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = codec.DEFAULT_K1,
+    b: float = codec.DEFAULT_B,
+    mode: str = "simple",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """BM25 straight from the corpus with built-in DataFrame ops only
+    (tokenizer UDF aside) — the Catalyst-native plan used for oracle parity.
+
+    Returns (qid, docid, rank, score); if ``round_digits`` is set the rank
+    window orders by the rounded score so an ANSI-SQL oracle computing the
+    same rounding is order-identical despite float summation differences.
+    """
+    toks = docs.select("docid", F.explode(tokens_col("content", mode=mode)).alias("term"))
+    td = toks.groupBy("docid", "term").agg(F.count("*").alias("tf"))
+    dl = td.groupBy("docid").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    dft = td.groupBy("term").agg(F.count("*").alias("df"))
+
+    qt = query_terms(queries, mode)
+
+    scored = (
+        qt.join(td, "term")
+        .join(F.broadcast(dft.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")), "term")
+        .join(dl, "docid")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.col("qw")
+            * F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("qid", "docid")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    score_key = F.round(F.col("score"), round_digits) if round_digits is not None else F.col("score")
+    w = Window.partitionBy("qid").orderBy(score_key.desc(), F.asc("docid"))
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if round_digits is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_digits))
+    return out.select("qid", "docid", "rank", "score")
