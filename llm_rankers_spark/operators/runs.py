@@ -1,0 +1,154 @@
+"""TREC run tables: scan/sink, filters, fusion, evaluation.
+
+The reference's on-disk IR is the 6-column TREC run file
+``qid Q0 docid rank score tag`` (run.py:41-49, 157). Internally we keep
+runs as DataFrames (qid, docid, rank, score, tag) and only serialize at
+the edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TREC_SCHEMA = "qid string, q0 string, docid string, rank int, score double, tag string"
+
+
+def read_trec_run(spark: SparkSession, path: str) -> DataFrame:
+    """S1 (run.py:151-176): whitespace-separated 6-column run file."""
+    df = spark.read.csv(path, sep="\t", schema=TREC_SCHEMA)
+    # fall back to arbitrary whitespace if the tab parse produced nulls
+    if df.filter(F.col("docid").isNull()).limit(1).count() > 0:
+        raw = spark.read.text(path)
+        parts = F.split(F.trim(F.col("value")), r"\s+")
+        df = raw.select(
+            parts.getItem(0).alias("qid"),
+            parts.getItem(1).alias("q0"),
+            parts.getItem(2).alias("docid"),
+            parts.getItem(3).cast("int").alias("rank"),
+            parts.getItem(4).cast("double").alias("score"),
+            parts.getItem(5).alias("tag"),
+        )
+    return df
+
+
+def write_trec_run(run: DataFrame, path: str, tag: str = "llm_rankers_spark", single_file: bool = True) -> None:
+    """S7 (run.py:41-49): ranks re-assigned 1..n per qid in score order."""
+    ranked = rerank_by_score(run)
+    out = ranked.select(
+        F.concat_ws(
+            "\t",
+            F.col("qid"),
+            F.lit("Q0"),
+            F.col("docid"),
+            F.col("rank").cast("string"),
+            F.col("score").cast("string"),
+            F.lit(tag),
+        ).alias("value")
+    ).orderBy("qid", "rank")
+    writer = out.coalesce(1) if single_file else out
+    writer.write.mode("overwrite").text(path)
+
+
+def rerank_by_score(run: DataFrame) -> DataFrame:
+    """Dense 1..n rank per qid by (score desc, docid asc)."""
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return run.withColumn("rank", F.row_number().over(w))
+
+
+def cap_hits(run: DataFrame, hits: int) -> DataFrame:
+    """F3 (run.py:163-164): keep the first ``hits`` docs per query."""
+    w = Window.partitionBy("qid").orderBy(F.asc("rank"))
+    return run.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= hits).drop("_rn")
+
+
+def filter_excluded(run: DataFrame, excluded: DataFrame) -> DataFrame:
+    """F4 (Rank-R1/bright/filter_run.py:21-31): drop (qid, docid) pairs in
+    the exclusion table, then re-rank 1..n preserving the surviving order."""
+    kept = run.join(excluded.select("qid", "docid"), ["qid", "docid"], "left_anti")
+    w = Window.partitionBy("qid").orderBy(F.asc("rank"))
+    return kept.withColumn("rank", F.row_number().over(w))
+
+
+def filter_qids(run: DataFrame, queries: DataFrame) -> DataFrame:
+    """F5 (run_setwise.py:37-38): keep run lines whose qid is in the query set."""
+    return run.join(queries.select("qid"), "qid", "left_semi")
+
+
+def attach_text(run: DataFrame, documents: DataFrame, title_col: str | None = None) -> DataFrame:
+    """S2/J1 (run.py:165-173): batch the reference's per-doc point lookups
+    into one join; optional title concat ``title + ' ' + text``."""
+    cols = [F.col("docid"), F.col("content").alias("text")]
+    docs = documents.select(*cols) if title_col is None else documents.select(
+        "docid", F.concat_ws(" ", F.col(title_col), F.col("content")).alias("text")
+    )
+    return run.join(docs, "docid", "inner")
+
+
+def fuse_runs(run1: DataFrame, run2: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """J4+A4 (Rank-R1/hybrid.py:30-51, 67-73): per-qid min-max normalize each
+    run, weighted sum; a doc missing from one run contributes 0 from it.
+    Queries present in only one run copy that run's ranking (hybrid.py:67-73
+    copies the whole run — normalization then yields the same ordering).
+
+    Deviation noted in SURVEY.md §2.4 A4: the reference's ``min_score`` is
+    the *last seen* score (file-order dependent); we compute the true min,
+    equal for score-sorted TREC input.
+    """
+
+    def norm(run: DataFrame, out: str) -> DataFrame:
+        mm = run.groupBy("qid").agg(F.max("score").alias("mx"), F.min("score").alias("mn"))
+        return (
+            run.join(mm, "qid")
+            .withColumn(out, (F.col("score") - F.col("mn")) / F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-9)))
+            .select("qid", "docid", out)
+        )
+
+    n1 = norm(run1, "s1")
+    n2 = norm(run2, "s2")
+    fused = (
+        n1.join(n2, ["qid", "docid"], "full_outer")
+        .withColumn("score", F.coalesce("s1", F.lit(0.0)) * alpha + F.coalesce("s2", F.lit(0.0)) * (1.0 - alpha))
+        .select("qid", "docid", "score")
+    )
+    return rerank_by_score(fused)
+
+
+def ndcg_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
+    """S8 (Rank-R1/bright/eval.sh:3-4, trec_eval ndcg_cut.10) as a pure
+    DataFrame job: per-qid NDCG@k, unjudged docs rel=0, ideal DCG from the
+    full qrels. Returns (qid, ndcg) — mean it for the headline metric."""
+    w = Window.partitionBy("qid").orderBy(F.asc("rank"))
+    judged = (
+        run.join(qrels.select("qid", "docid", "rel"), ["qid", "docid"], "left_outer")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .withColumn("gain", (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("pos") + 1.0))
+        .groupBy("qid")
+        .agg(F.sum("gain").alias("dcg"))
+    )
+    iw = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("docid"))
+    ideal = (
+        qrels.filter(F.col("rel") > 0)
+        .withColumn("pos", F.row_number().over(iw))
+        .filter(F.col("pos") <= k)
+        .withColumn("gain", (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("pos") + 1.0))
+        .groupBy("qid")
+        .agg(F.sum("gain").alias("idcg"))
+    )
+    return (
+        judged.join(ideal, "qid", "inner")
+        .withColumn("ndcg", F.col("dcg") / F.col("idcg"))
+        .select("qid", "ndcg")
+    )
+
+
+def run_metrics(run: DataFrame) -> DataFrame:
+    """A3 (run.py:178-201): per-run totals/averages."""
+    per_q = run.groupBy("qid").agg(F.count("*").alias("n_docs"), F.max("score").alias("top_score"))
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.avg("n_docs").alias("avg_docs_per_query"),
+        F.avg("top_score").alias("avg_top_score"),
+    )

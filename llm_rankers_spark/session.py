@@ -17,8 +17,17 @@ def _ship_package(spark: SparkSession) -> None:
     ``spark-submit --py-files llm_rankers_spark.zip`` does (north rule);
     doing it programmatically keeps library use self-contained.
     """
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "llm_rankers_spark_pyfiles.zip")
+    # key the archive by a source digest so edits invalidate the cache
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                st = os.stat(os.path.join(root, fn))
+                h.update(f"{root}/{fn}:{st.st_mtime_ns}:{st.st_size}".encode())
+    zpath = os.path.join(tempfile.gettempdir(), f"llm_rankers_spark_pyfiles_{h.hexdigest()[:16]}.zip")
     if not os.path.exists(zpath):
         tmp = zpath + ".tmp"
         with zipfile.ZipFile(tmp, "w") as z:
