@@ -1,0 +1,225 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference only needs first-wins docid dedup on corpus export
+(write_pyserini_corpus.py:21-24 → :func:`dedup_docids`); the rest are the
+standard web-scale dedup family, all expressed as shuffle-conscious
+DataFrame plans:
+
+- exact: hash-groupBy on content digest (one shuffle on the digest).
+- MinHash + LSH: shingle → 64-bit hash → k permutation-mins → band →
+  bucket join. Candidate generation never compares all pairs: only docs
+  sharing a band bucket meet, and bucket sizes are bounded by banding.
+- SimHash: 64-bit bit-majority fingerprint; near-dups share fingerprints
+  (or low Hamming distance via band rotation).
+- n-gram Jaccard: exact verification on candidate pairs from a shared
+  rare-shingle join (df-capped so hot shingles never build hot buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from llm_rankers_spark.functions.tokenize import tokens_col
+
+# 31-bit Mersenne prime: (a*h + b) with a,b,h < 2^31 stays under 2^63, so
+# the universal-hash family is exact under ANSI arithmetic (no overflow).
+_MERSENNE = (1 << 31) - 1
+
+
+def dedup_docids(docs: DataFrame, id_col: str = "docid") -> DataFrame:
+    """F6 (write_pyserini_corpus.py:21-24): first-wins duplicate-id drop.
+    'First' in a distributed table = lowest original position; we use the
+    lexicographically-smallest tie-break via row_number for determinism."""
+    w = Window.partitionBy(id_col).orderBy(F.asc(id_col))
+    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def exact_duplicates(docs: DataFrame, content_col: str = "content", id_col: str = "docid") -> DataFrame:
+    """Exact dedup groups: (digest, group_size, keep_id, ids).
+
+    One shuffle on md5(content); md5 is chosen because every ANSI engine
+    computes the identical digest (oracle-checkable)."""
+    digest = docs.select(F.md5(F.col(content_col)).alias("digest"), F.col(id_col).alias("id"))
+    return (
+        digest.groupBy("digest")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.min("id").alias("keep_id"),
+            F.sort_array(F.collect_list("id")).alias("ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def shingles_from_tokens(toks_col: str, k: int = 5):
+    """k-token shingles from a materialized token-array column.
+
+    (Two-step on purpose: Spark rejects Python-UDF results inside
+    higher-order-function lambdas, so the tokenizer output must be its own
+    column before the transform.)"""
+    toks = F.col(toks_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(toks, " "))).otherwise(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def _with_shingles(docs: DataFrame, id_col: str, content_col: str, k: int, mode: str = "simple") -> DataFrame:
+    return (
+        docs.select(F.col(id_col).alias("id"), tokens_col(content_col, mode=mode).alias("_toks"))
+        .select("id", F.array_distinct(shingles_from_tokens("_toks", k)).alias("sh"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "docid",
+    content_col: str = "content",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) MinHash signatures, fully JVM-side.
+
+    One base 64-bit hash per shingle (xxhash64), then ``num_hashes``
+    universal-hash permutations ``(a*h + b) mod p`` folded with ``min``
+    aggregates — no UDF, map-side combinable, one shuffle on id."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+
+    sh = (
+        _with_shingles(docs, id_col, content_col, shingle_k)
+        .select("id", F.explode("sh").alias("shingle"))
+        .withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
+    )
+
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(int(a[i])) + F.lit(int(b[i])), F.lit(_MERSENNE))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select("id", F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Band the signatures and bucket-join: (id_a, id_b) candidate pairs.
+
+    rows_per_band = num_hashes/bands controls precision; a pair is emitted
+    once even if it collides in several bands (dropDuplicates on the pair).
+    The join is self-equi on (band, band_hash) — AQE skew-join handles any
+    residual hot bucket."""
+    rows = num_hashes // bands
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.xxhash64(*[F.col("sig")[i] for i in range(bd * rows, (bd + 1) * rows)]) for bd in range(bands)])
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "docid",
+    content_col: str = "content",
+    shingle_k: int = 5,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification stage)."""
+    sh = _with_shingles(docs, id_col, content_col, shingle_k)
+    out = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("union", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / F.greatest(F.col("union"), F.lit(1)))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_dedup(
+    docs: DataFrame,
+    id_col: str = "docid",
+    content_col: str = "content",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    max_shingle_df: int = 50,
+) -> DataFrame:
+    """Exact near-dup pairs above ``threshold`` without LSH: candidates are
+    docs sharing ≥1 *rare* shingle (df ≤ max_shingle_df — a hot shingle like
+    'import os' would otherwise create an O(df²) bucket), verified exactly.
+
+    Completeness note: a pair whose every shared shingle is hot is missed;
+    at threshold ≥ 0.8 near-dups share many shingles, so in practice rare
+    ones exist. MinHash-LSH is the probabilistically-complete alternative."""
+    sh = _with_shingles(docs, id_col, content_col, shingle_k).select("id", F.explode("sh").alias("shingle"))
+    w = Window.partitionBy("shingle")
+    rare = sh.withColumn("df", F.count("*").over(w)).filter(F.col("df") <= max_shingle_df).drop("df")
+    cands = (
+        rare.alias("l")
+        .join(rare.alias("r"), "shingle")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return jaccard_pairs(docs, cands, id_col, content_col, shingle_k, threshold)
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "docid",
+    content_col: str = "content",
+    bits: int = 64,
+    mode: str = "simple",
+) -> DataFrame:
+    """(id, simhash long): tf-weighted bit-majority over token hashes.
+
+    All JVM-side: explode tokens → tf weights → per-bit signed sums → sign
+    bits reassembled. ``bits`` aggregate expressions, one shuffle on id."""
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(content_col, mode=mode)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_sums = tf.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(-F.col("tf"))
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(
+            1 << i if i < 63 else -(1 << 63)
+        ).cast("long")
+        fp = term if fp is None else fp + term
+    return bit_sums.select("id", fp.alias("simhash"))
+
+
+def simhash_duplicates(sigs: DataFrame) -> DataFrame:
+    """Docs sharing an identical simhash (fingerprint-equality near-dups)."""
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count("*").alias("group_size"), F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.col("group_size") > 1)
+    )

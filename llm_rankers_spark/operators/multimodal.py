@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode kernels (PIL/librosa/ffmpeg) are NOT in this container, so the
+codec step is stubbed behind ``decoder=`` — either a clearly-marked
+``NotImplementedError`` (default) or a deterministic fake for tests. The
+Spark-side plumbing is real and tested: schema, Arrow batch shape,
+``mapInPandas`` signature, partition sizing — swapping in a real decoder
+changes one function, not the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, payload binary, mime string, width int, height int, duration_ms int"
+)
+FEATURE_SCHEMA = "media_id string, kind string, n_bytes long, sha256 string, feature array<float>"
+
+
+def real_decoder(payload: bytes, kind: str) -> np.ndarray:  # pragma: no cover
+    """Placeholder for the real decode kernel (image/audio libs absent in
+    this environment)."""
+    raise NotImplementedError(
+        "media decode requires PIL/librosa/ffmpeg which are not installed; "
+        "pass decoder=fake_decoder for deterministic plumbing tests"
+    )
+
+
+def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in: 8 floats derived from the payload digest."""
+    d = hashlib.sha256(payload or b"").digest()
+    return (np.frombuffer(d[:32], dtype=np.uint8).reshape(8, 4).sum(axis=1) / 255.0).astype(np.float32)
+
+
+def extract_features(media: DataFrame, decoder=real_decoder, batch_hint: int = 256) -> DataFrame:
+    """Decode + featurize media rows via ``mapInPandas``.
+
+    Binary payloads dominate memory, so the operator repartitions by media_id
+    first (spreads big blobs) and processes Arrow batches streaming — the
+    iterator contract means one batch in memory per task, not one partition.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(p, k).tolist() for p, k in zip(pdf["payload"], pdf["kind"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                    "sha256": [hashlib.sha256(p or b"").hexdigest() for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.repartition("media_id").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts). The
+    timestamps come from metadata (no decode needed); the actual frame
+    extraction would run inside extract_features on (payload, ts) pairs."""
+    return media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))).alias(
+            "frame_ts"
+        ),
+    )
+
+
+def synth_media(spark, n: int = 32, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for plumbing tests."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 5)
+        rows.append(
+            (f"m{i}", kind, bytearray(payload), f"{kind}/x-fake", 64 + i, 48 + i, 1000 * (1 + i % 7))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,144 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+Two paths, both shuffle-conscious:
+
+- :func:`cosine_topk` — exact brute force: broadcast the (small) query set,
+  dot products computed JVM-side with ``zip_with``/``aggregate`` (no Python
+  in the hot path), global top-k per query via window. The baseline.
+- :func:`lsh_topk` — random-hyperplane LSH: signatures are computed with the
+  same JVM-side expressions, candidates meet on equal signature buckets
+  (multi-table probing optional), then exact re-scoring within buckets.
+  At 10^12 vectors the bucket join replaces the full cross product.
+
+Also :func:`embedding_near_duplicates` — cosine-threshold near-dup pairs
+(the embedding leg of the dedup family).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k: (qid, vec_id, rank, cos). Query side broadcast."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos", _dot("v", "qv") / (_norm("v") * _norm("qv")))
+        .select("qid", "vec_id", "cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def signature_col(vec_col: str, planes: list[list[float]]):
+    """Random-hyperplane signature as a long (bit i = sign of dot with
+    plane i) — pure Catalyst expressions."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(F.col(vec_col), plane) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + bit * F.lit(1 << i).cast("long")
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table hyperplane LSH.
+
+    Recall grows with n_tables; candidates = docs sharing a signature with
+    the query in ANY table. Exact cosine re-scoring on candidates only."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qv"))
+    c_sig, q_sig = [], []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        c_sig.append(c.select("vec_id", "v", F.lit(t).alias("table"), signature_col("v", planes).alias("sig")))
+        q_sig.append(q.select("qid", "qv", F.lit(t).alias("table"), signature_col("qv", planes).alias("sig")))
+    c_all = c_sig[0]
+    for d in c_sig[1:]:
+        c_all = c_all.unionByName(d)
+    q_all = q_sig[0]
+    for d in q_sig[1:]:
+        q_all = q_all.unionByName(d)
+    cands = (
+        c_all.join(F.broadcast(q_all), ["table", "sig"])
+        .select("qid", "qv", "vec_id", "v")
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    scored = cands.withColumn("cos", _dot("v", "qv") / (_norm("v") * _norm("qv"))).select("qid", "vec_id", "cos")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, cos ≥ threshold) via LSH self-join."""
+    dim = len(corpus.select(vec_col).first()[0])
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pairs = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=seed + 1000 * t)
+        s = c.select("id", "v", signature_col("v", planes).alias("sig"))
+        p = (
+            s.alias("l")
+            .join(s.alias("r"), "sig")
+            .filter(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("l.v").alias("va"),
+                F.col("r.v").alias("vb"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.withColumn("cos", _dot("va", "vb") / (_norm("va") * _norm("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

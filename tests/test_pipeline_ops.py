@@ -1,0 +1,192 @@
+"""Tests for the training-pipeline operators: dedup, similarity, textstats,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from llm_rankers_spark.operators.dedup import (
+    dedup_docids,
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_dedup,
+    simhash,
+    simhash_duplicates,
+)
+from llm_rankers_spark.operators.multimodal import (
+    extract_features,
+    fake_decoder,
+    frame_sample_plan,
+    real_decoder,
+    synth_media,
+)
+from llm_rankers_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+from llm_rankers_spark.operators.textstats import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_features,
+    word_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        ("a", base),
+        ("b", base),  # exact dup of a
+        ("c", base.replace("today", "tomorrow")),  # near dup
+        ("d", "import os import sys def main(): return 0"),
+        ("e", "completely different content about el gato y la casa en madrid"),
+        ("f", "der hund und die katze sind nicht ein problem mit von"),
+    ]
+    return spark.createDataFrame(rows, "docid string, content string")
+
+
+def test_dedup_docids(spark):
+    df = spark.createDataFrame([("x", 1), ("x", 2), ("y", 3)], "docid string, v int")
+    assert dedup_docids(df).count() == 2
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == ["a", "b"]
+    assert groups[0]["keep_id"] == "a"
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    assert sigs.count() == 6
+    cands = minhash_lsh_candidates(sigs, num_hashes=32, bands=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert ("a", "b") in pairs  # exact dups always collide
+    assert ("a", "c") in pairs or ("b", "c") in pairs  # near dup likely caught
+    verified = jaccard_pairs(docs.sparkSession.createDataFrame(docs.collect()), cands, shingle_k=3, threshold=0.5)
+    vp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert vp[("a", "b")] == pytest.approx(1.0)
+
+
+def test_ngram_jaccard_dedup(docs):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_dedup(docs, shingle_k=3, threshold=0.5).collect()}
+    assert ("a", "b") in out and out[("a", "b")] == pytest.approx(1.0)
+    assert ("a", "c") in out  # near dup above 0.5
+    assert all(j >= 0.5 for j in out.values())
+
+
+def test_simhash_exact_dups_share_fingerprint(docs):
+    sigs = simhash(docs, bits=32)
+    fp = {r["id"]: r["simhash"] for r in sigs.collect()}
+    assert fp["a"] == fp["b"]
+    dups = simhash_duplicates(sigs).collect()
+    assert any(set(g["ids"]) >= {"a", "b"} for g in dups)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(50):
+        v = rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # planted near-dup of vector 0
+    v0 = np.array(rows[0][1])
+    vdup = v0 + 1e-3 * rng.standard_normal(16)
+    rows.append((999, (vdup / np.linalg.norm(vdup)).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark, vectors):
+    qrows = [("q0", vectors.filter("vec_id = 0").first()["embedding"])]
+    q = spark.createDataFrame(qrows, "qid string, qvec array<double>")
+    top = cosine_topk(vectors, q, k=3).orderBy("rank").collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos"] == pytest.approx(1.0)
+    assert top[1]["vec_id"] == 999 and top[1]["cos"] > 0.99
+
+
+def test_lsh_topk_recalls_planted_neighbor(spark, vectors):
+    qrows = [("q0", vectors.filter("vec_id = 0").first()["embedding"])]
+    q = spark.createDataFrame(qrows, "qid string, qvec array<double>")
+    top = lsh_topk(vectors, q, k=3, n_planes=6, n_tables=6, dim=16).orderBy("rank").collect()
+    ids = [r["vec_id"] for r in top]
+    assert 0 in ids and 999 in ids  # identical signature in every table
+
+
+def test_embedding_near_duplicates(vectors):
+    pairs = embedding_near_duplicates(vectors, threshold=0.99, n_planes=8, n_tables=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 999) in got
+
+
+def test_word_and_token_counts(spark):
+    df = spark.createDataFrame([("hello world, foo!",)], "content string")
+    r = df.select(word_count("content").alias("w"), bpe_ish_token_count("content").alias("t")).collect()[0]
+    assert r["w"] == 3
+    assert r["t"] == 5  # hello, world, foo + ',' + '!'
+
+
+def test_quality_features(spark):
+    good = "the cat sat on the mat and it was a good day for everyone involved"
+    bad = "@@@@ #### $$$$ %%%%"
+    df = spark.createDataFrame([(1, good), (2, bad)], "doc_id long, content string")
+    rows = {r["id"]: r for r in quality_features(df).collect()}
+    assert rows[1]["quality_score"] > rows[2]["quality_score"]
+    assert rows[2]["alpha_ratio"] == pytest.approx(0.0)
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is good"),
+            (2, "el gato que vive en la casa es un animal"),
+            (3, "der hund und die katze sind nicht ein problem"),
+            (4, "это русский текст"),
+            (5, "这是中文文本"),
+        ],
+        "doc_id long, content string",
+    )
+    got = {r["id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "ru", 5: "zh"}
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_fingerprint_order_sensitive(spark, hash_fn):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, content string",
+    )
+    fp = {r["id"]: r["fingerprint"] for r in fingerprint(df, hash_fn=hash_fn).collect()}
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]  # order matters
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=12)
+    feats = extract_features(media, decoder=fake_decoder)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(len(r["sha256"]) == 64 for r in rows)
+    # determinism
+    again = {r["media_id"]: r["feature"] for r in extract_features(media, decoder=fake_decoder).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+    # real decoder is an explicit stub
+    with pytest.raises(Exception) as ei:
+        extract_features(media, decoder=real_decoder).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, n=9)
+    plan = frame_sample_plan(media, every_ms=500)
+    vids = media.filter(F.col("kind") == "video").collect()
+    got = plan.groupBy("media_id").count().collect()
+    want = {v["media_id"]: (v["duration_ms"] - 1) // 500 + 1 for v in vids}
+    assert {r["media_id"]: r["count"] for r in got} == want
