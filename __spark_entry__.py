@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship end-to-end pipeline (index build → BM25 WAND →
+setwise rerank) on sf0.001. ``queries``/``oracle_sql`` expose every
+implemented operator from SURVEY.md §2 plus the training-pipeline extras;
+pairs are registered in ``llm_rankers_spark/entry_queries.py`` where each
+oracle SQL is DuckDB-validated by tests/test_entry.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 corpus → packed index → BM25 WAND top-20 →
+    setwise-heapsort rerank (deterministic mock comparator) → final run."""
+    from pyspark.sql import functions as F
+
+    from llm_rankers_spark.corpus import driver_documents
+    from llm_rankers_spark.entry_queries import _entry_index, _queries_df
+    from llm_rankers_spark.operators.bm25 import search
+    from llm_rankers_spark.operators.rerank import MockComparator, rerank
+    from llm_rankers_spark.operators.runs import attach_text
+    from llm_rankers_spark.session import _ship_package
+
+    _ship_package(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    docs = driver_documents(spark, sf_dir)
+    idx = _entry_index(spark, sf_dir)
+    qs = _queries_df(spark)
+    first_stage = search(idx, qs, k=20, method="wand")
+    cands = attach_text(first_stage, docs).join(qs, "qid").select("qid", "query", "docid", "rank", "text")
+    out = rerank(cands, method="setwise.heapsort", comparator=MockComparator(), k=10, num_child=2)
+    return out.select("qid", "docid", F.col("rank").cast("long").alias("rank"), "score")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from llm_rankers_spark.entry_queries import REGISTRY
+    from llm_rankers_spark.session import _ship_package
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from llm_rankers_spark.entry_queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,819 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 gets a (spark_callable, oracle_sql) pair here.
+
+The Spark callable and the ANSI-SQL string compute the SAME result on the
+driver's parquet views (documents / embeddings / lineitem / orders ...), so
+DuckDB can act as an independent oracle. Rules that make parity work:
+
+- tokenization in 'simple' mode only (regex-split — identical in both
+  engines); the code-aware mode is covered by pytest oracles instead;
+- docids are zero-padded doc_id strings so lexicographic order == numeric;
+- hashes are md5-derived (identical across engines); xxhash64 variants are
+  covered rows-only / by pytest;
+- every float output is rounded (4-6 dp) AFTER ranking; ranking always
+  orders by the exact value with a docid tie-break, which is stable within
+  each engine and identical across engines for genuinely tied rows;
+- ranks/counts are cast to BIGINT on the Spark side (DuckDB's natural
+  integer width).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from llm_rankers_spark.corpus import driver_documents
+from llm_rankers_spark.operators import bm25 as bm25_ops
+from llm_rankers_spark.operators import dedup as dedup_ops
+from llm_rankers_spark.operators import rerank as rerank_ops
+from llm_rankers_spark.operators import runs as runs_ops
+from llm_rankers_spark.operators import similarity as sim_ops
+from llm_rankers_spark.operators import textstats as ts_ops
+from llm_rankers_spark.operators.index_build import build_index
+
+# ---------------------------------------------------------------------------
+# shared fixtures (literal — embedded identically in Spark and SQL)
+# ---------------------------------------------------------------------------
+
+QUERY_SET: list[tuple[str, str]] = [
+    ("q0", "spark join dup"),
+    ("q1", "the fast query"),
+    ("q2", "hash merge window batch"),
+    ("q3", "dup"),
+    ("q4", "zzz missing"),
+    ("q5", "vector stream agg key"),
+]
+
+K1, B = 0.9, 0.4
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(QUERY_SET, "qid string, query string")
+
+
+def _values_queries() -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in QUERY_SET)
+    return f"(VALUES {vals}) AS q(qid, query)"
+
+
+# SQL fragments -------------------------------------------------------------
+
+SQL_TOKS = """
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+)"""
+
+SQL_TF = """
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term)"""
+
+SQL_STATS = """
+dl AS (SELECT doc_id, sum(tf)::DOUBLE AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT coalesce(sum(dl), 0) FROM dl) / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term)"""
+
+
+def _sql_qterms() -> str:
+    return f"""
+qraw AS (SELECT qid, query FROM {_values_queries()}),
+qt AS (
+  SELECT qid, term, count(*)::DOUBLE AS qw FROM (
+    SELECT qid, unnest(list_filter(string_split_regex(lower(query), '[^a-z0-9]+'), x -> x <> '')) AS term
+    FROM qraw
+  ) GROUP BY qid, term
+)"""
+
+
+BM25_ORACLE_SQL = f"""
+WITH {SQL_TOKS}, {SQL_TF}, {SQL_STATS}, {_sql_qterms()},
+scored AS (
+  SELECT qt.qid, tf.doc_id,
+         sum(qt.qw * ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))) AS score
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY qt.qid, tf.doc_id
+),
+ranked AS (
+  SELECT qid, doc_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, lpad(doc_id::VARCHAR, 10, '0') AS docid, rank, round(score, 4) AS score
+FROM ranked WHERE rank <= 10
+"""
+
+
+def _entry_index(spark: SparkSession, sf_dir: str):
+    docs = driver_documents(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"llmrs_entry_idx_{tag}")
+    return build_index(
+        docs.select("docid", "content", "content_sha256"), path, tokenizer_mode="simple", num_shards=4, resume=True
+    )
+
+
+def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S6: packed-index build + block-max WAND top-10."""
+    idx = _entry_index(spark, sf_dir)
+    res = bm25_ops.search(idx, _queries_df(spark), k=10, method="wand")
+    return res.select(
+        "qid", "docid", F.col("rank").cast("long").alias("rank"), F.round("score", 4).alias("score")
+    )
+
+
+def q_bm25_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 declarative twin: pure-DataFrame BM25 (Catalyst end to end)."""
+    docs = driver_documents(spark, sf_dir)
+    out = bm25_ops.bm25_dataframe(docs, _queries_df(spark), k=10, mode="simple")
+    return out.select(
+        "qid", "docid", F.col("rank").cast("long").alias("rank"), F.round("score", 4).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# synthetic runs over documents (deterministic, SQL-twinned)
+# ---------------------------------------------------------------------------
+
+RUN_MODS = [0, 1, 2]  # qids r0, r1, r2 pick docs by doc_id % 7 == m
+RUN_HITS = 12
+
+
+def _runs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, docid, rank, score, text): 12 docs per query, distinct texts,
+    score = 1000 - doc_id, rank by doc_id asc."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w_dedup = Window.partitionBy("text").orderBy("doc_id")
+    uniq = d.withColumn("_tr", F.row_number().over(w_dedup)).filter(F.col("_tr") == 1).drop("_tr")
+    mods = spark.createDataFrame([(f"r{m}", m) for m in RUN_MODS], "qid string, m int")
+    cand = uniq.join(mods, F.pmod(F.col("doc_id"), F.lit(7)) == F.col("m"))
+    w = Window.partitionBy("qid").orderBy(F.asc("doc_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RUN_HITS)
+        .select(
+            "qid",
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"),
+            F.col("rank").cast("int").alias("rank"),
+            (F.lit(1000.0) - F.col("doc_id")).alias("score"),
+            F.col("text"),
+        )
+    )
+
+
+SQL_RUNS = """
+uniq AS (
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS _tr FROM documents d
+  ) WHERE _tr = 1
+),
+runs AS (
+  SELECT * FROM (
+    SELECT 'r' || m.m AS qid,
+           lpad(doc_id::VARCHAR, 10, '0') AS docid,
+           row_number() OVER (PARTITION BY m.m ORDER BY doc_id ASC) AS rank,
+           1000.0 - doc_id AS score,
+           text
+    FROM uniq JOIN (VALUES (0), (1), (2)) AS m(m) ON doc_id % 7 = m.m
+  ) WHERE rank <= 12
+)"""
+
+
+def q_hits_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (run.py:163-164)."""
+    out = runs_ops.cap_hits(_runs_df(spark, sf_dir), 5)
+    return out.select("qid", "docid", F.col("rank").cast("long").alias("rank"), "score")
+
+
+SQL_HITS_CAP = f"WITH {SQL_RUNS} SELECT qid, docid, rank, score FROM runs WHERE rank <= 5"
+
+
+def q_excluded_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 (filter_run.py:21-31): anti-join + re-rank."""
+    runs = _runs_df(spark, sf_dir)
+    excl = runs.filter(F.pmod(F.col("docid").cast("long"), F.lit(3)) == 0).select("qid", "docid")
+    out = runs_ops.filter_excluded(runs, excl)
+    return out.select("qid", "docid", F.col("rank").cast("long").alias("rank"), "score")
+
+
+SQL_EXCLUDED = f"""
+WITH {SQL_RUNS},
+kept AS (SELECT * FROM runs WHERE docid::BIGINT % 3 <> 0)
+SELECT qid, docid, row_number() OVER (PARTITION BY qid ORDER BY rank ASC) AS rank, score FROM kept
+"""
+
+
+def q_qid_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 (run_setwise.py:37-38): left-semi on qid."""
+    runs = _runs_df(spark, sf_dir)
+    keep = spark.createDataFrame([("r0",), ("r2",)], "qid string")
+    out = runs_ops.filter_qids(runs, keep)
+    return out.select("qid", "docid", F.col("rank").cast("long").alias("rank"), "score")
+
+
+SQL_QID_FILTER = f"WITH {SQL_RUNS} SELECT qid, docid, rank, score FROM runs WHERE qid IN ('r0', 'r2')"
+
+
+def q_inverse_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (run.py:185-191) 'inverse' variant (the seeded-random variant is
+    engine-hash dependent → pytest-covered instead)."""
+    runs = _runs_df(spark, sf_dir).withColumn("query", F.lit("x")).withColumn("text", F.col("docid"))
+    out = rerank_ops.shuffle_candidates(runs, "inverse")
+    return out.select("qid", "docid", F.col("rank").cast("long").alias("rank"), "score")
+
+
+SQL_INVERSE = f"""
+WITH {SQL_RUNS}
+SELECT qid, docid, row_number() OVER (PARTITION BY qid ORDER BY rank DESC) AS rank, score FROM runs
+"""
+
+
+def q_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+A4 (hybrid.py:30-51): min-max fusion of two runs, alpha=0.6."""
+    r1 = _runs_df(spark, sf_dir)
+    r2 = (
+        _runs_df(spark, sf_dir)
+        .filter(F.pmod(F.col("docid").cast("long"), F.lit(2)) == 0)
+        .withColumn("score", F.col("docid").cast("double"))
+    )
+    out = runs_ops.fuse_runs(r1, r2, alpha=0.6)
+    return out.select(
+        "qid", "docid", F.col("rank").cast("long").alias("rank"), F.round("score", 6).alias("score")
+    )
+
+
+SQL_FUSION = f"""
+WITH {SQL_RUNS},
+r1 AS (SELECT qid, docid, score FROM runs),
+r2 AS (SELECT qid, docid, docid::BIGINT::DOUBLE AS score FROM runs WHERE docid::BIGINT % 2 = 0),
+n1 AS (
+  SELECT qid, docid,
+         (score - min(score) OVER (PARTITION BY qid)) /
+         greatest(max(score) OVER (PARTITION BY qid) - min(score) OVER (PARTITION BY qid), 1e-9) AS s1
+  FROM r1
+),
+n2 AS (
+  SELECT qid, docid,
+         (score - min(score) OVER (PARTITION BY qid)) /
+         greatest(max(score) OVER (PARTITION BY qid) - min(score) OVER (PARTITION BY qid), 1e-9) AS s2
+  FROM r2
+),
+fused AS (
+  SELECT coalesce(n1.qid, n2.qid) AS qid, coalesce(n1.docid, n2.docid) AS docid,
+         coalesce(s1, 0.0) * 0.6 + coalesce(s2, 0.0) * 0.4 AS score
+  FROM n1 FULL OUTER JOIN n2 ON n1.qid = n2.qid AND n1.docid = n2.docid
+)
+SELECT qid, docid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, docid ASC) AS rank,
+       round(score, 6) AS score
+FROM fused
+"""
+
+
+def _qrels_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mods = spark.createDataFrame([(f"r{m}", m) for m in RUN_MODS], "qid string, m int")
+    return (
+        d.join(mods, F.pmod(F.col("doc_id"), F.lit(14)) == F.col("m"))
+        .select(
+            "qid",
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(28)) == F.col("m"), F.lit(2)).otherwise(F.lit(1)).alias("rel"),
+        )
+    )
+
+
+SQL_QRELS = """
+qrels AS (
+  SELECT 'r' || m.m AS qid, lpad(doc_id::VARCHAR, 10, '0') AS docid,
+         CASE WHEN doc_id % 28 = m.m THEN 2 ELSE 1 END AS rel
+  FROM documents JOIN (VALUES (0), (1), (2)) AS m(m) ON doc_id % 14 = m.m
+)"""
+
+
+def q_ndcg10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 (eval.sh): NDCG@10 per qid as a DataFrame job."""
+    out = runs_ops.ndcg_at_k(_runs_df(spark, sf_dir), _qrels_df(spark, sf_dir), k=10)
+    return out.select("qid", F.round("ndcg", 6).alias("ndcg"))
+
+
+SQL_NDCG = f"""
+WITH {SQL_RUNS}, {SQL_QRELS},
+judged AS (
+  SELECT r.qid, r.rank AS pos, coalesce(q.rel, 0) AS rel
+  FROM runs r LEFT JOIN qrels q ON r.qid = q.qid AND r.docid = q.docid
+),
+dcg AS (
+  SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(pos + 1.0)) AS dcg
+  FROM judged WHERE pos <= 10 GROUP BY qid
+),
+ideal AS (
+  SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(pos + 1.0)) AS idcg FROM (
+    SELECT qid, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, docid ASC) AS pos
+    FROM qrels WHERE rel > 0
+  ) WHERE pos <= 10 GROUP BY qid
+)
+SELECT dcg.qid, round(dcg.dcg / ideal.idcg, 6) AS ndcg FROM dcg JOIN ideal USING (qid)
+"""
+
+
+# ---------------------------------------------------------------------------
+# rerank loops with md5-relevance mock comparator (SQL-twinned because the
+# comparator is transitive: heapsort/allpair/full-window-listwise are exact)
+# ---------------------------------------------------------------------------
+
+
+def _md5_relevance(query: str, text: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(text.encode()).hexdigest()[:7], 16)
+
+
+SQL_REL = "('0x' || substr(md5(text), 1, 7))::BIGINT"
+
+
+def _rerank_entry(spark: SparkSession, sf_dir: str, method: str, **params) -> DataFrame:
+    cands = _runs_df(spark, sf_dir).withColumn("query", F.lit("const"))
+    cmp = rerank_ops.MockComparator(relevance=_md5_relevance)
+    out = rerank_ops.rerank(cands, method=method, comparator=cmp, **params)
+    return out.select("qid", "docid", F.col("rank").cast("long").alias("rank"), "score")
+
+
+def q_setwise_heapsort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (setwise.py:200-242) + T8 assembly, k=5, num_child=2."""
+    return _rerank_entry(spark, sf_dir, "setwise.heapsort", k=5, num_child=2)
+
+
+def q_pairwise_heapsort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 (pairwise.py:133-162) + T8 assembly, k=5."""
+    return _rerank_entry(spark, sf_dir, "pairwise.heapsort", k=5)
+
+
+# heapsort with a perfect transitive comparator selects the true top-k in
+# relevance order; the tail keeps original (first-stage) order → exactly:
+SQL_TOPK_ASSEMBLY = f"""
+WITH {SQL_RUNS},
+relv AS (
+  SELECT qid, docid, rank AS orig_rank, {SQL_REL} AS rel,
+         row_number() OVER (PARTITION BY qid ORDER BY {SQL_REL} DESC, rank ASC) AS rel_rank
+  FROM runs
+),
+head AS (SELECT qid, docid, rel_rank AS rank FROM relv WHERE rel_rank <= 5),
+tail AS (
+  SELECT qid, docid,
+         5 + row_number() OVER (PARTITION BY qid ORDER BY orig_rank ASC) AS rank
+  FROM relv WHERE rel_rank > 5
+)
+SELECT qid, docid, rank, -rank::DOUBLE AS score FROM head
+UNION ALL
+SELECT qid, docid, rank, -rank::DOUBLE AS score FROM tail
+"""
+
+
+def q_pairwise_allpair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/T1 (pairwise.py:169-219): with distinct relevances the win counts
+    produce the full relevance ordering (zero-win doc re-enters via T8)."""
+    return _rerank_entry(spark, sf_dir, "pairwise.allpair", k=RUN_HITS)
+
+
+SQL_ALLPAIR = f"""
+WITH {SQL_RUNS},
+relv AS (
+  SELECT qid, docid, rank AS orig_rank, {SQL_REL} AS rel FROM runs
+)
+SELECT qid, docid,
+       row_number() OVER (PARTITION BY qid ORDER BY rel DESC, orig_rank ASC) AS rank,
+       -(row_number() OVER (PARTITION BY qid ORDER BY rel DESC, orig_rank ASC))::DOUBLE AS score
+FROM relv
+"""
+
+
+def q_listwise_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (listwise.py:178-196) with the window covering the whole list →
+    one full permutation by the comparator ordering."""
+    return _rerank_entry(
+        spark, sf_dir, "listwise.sliding", window_size=RUN_HITS, step_size=RUN_HITS, num_repeat=1
+    )
+
+
+SQL_LISTWISE = f"""
+WITH {SQL_RUNS},
+relv AS (SELECT qid, docid, rank AS orig_rank, {SQL_REL} AS rel FROM runs),
+ordered AS (
+  SELECT qid, docid,
+         row_number() OVER (PARTITION BY qid ORDER BY rel DESC, orig_rank ASC) AS rank
+  FROM relv
+)
+SELECT qid, docid, rank, -(rank - 1)::DOUBLE AS score FROM ordered
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / textstats / similarity
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 + exact-dup groups on a dup-injected corpus (md5 digests)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"), F.col("text").alias("content")
+    )
+    dupes = d.filter(F.pmod(F.col("docid").cast("long"), F.lit(100)) == 0).withColumn(
+        "docid", F.concat(F.lit("dup_"), F.col("docid"))
+    )
+    groups = dedup_ops.exact_duplicates(d.unionByName(dupes))
+    return groups.select(
+        "digest",
+        F.col("group_size").cast("long").alias("group_size"),
+        "keep_id",
+        F.array_join("ids", ",").alias("ids"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH base AS (
+  SELECT lpad(doc_id::VARCHAR, 10, '0') AS id, text FROM documents
+  UNION ALL
+  SELECT 'dup_' || lpad(doc_id::VARCHAR, 10, '0') AS id, text FROM documents WHERE doc_id % 100 = 0
+)
+SELECT md5(text) AS digest, count(*)::BIGINT AS group_size, min(id) AS keep_id,
+       array_to_string(list_sort(list(id)), ',') AS ids
+FROM base GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+MH_HASHES = 8
+MH_SHINGLE_K = 3
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"), F.col("text").alias("content")
+    )
+    sigs = dedup_ops.minhash_signatures(
+        d, num_hashes=MH_HASHES, shingle_k=MH_SHINGLE_K, hash_fn="md5"
+    )
+    cols = [F.col("sig")[i].alias(f"mh{i}") for i in range(MH_HASHES)]
+    return sigs.select(F.col("id").alias("docid"), *cols)
+
+
+def _sql_minhash() -> str:
+    a, b = dedup_ops.minhash_params(MH_HASHES)
+    p = dedup_ops._MERSENNE
+    k = MH_SHINGLE_K
+    mins = ",\n       ".join(f"min(({a[i]} * h + {b[i]}) % {p})::BIGINT AS mh{i}" for i in range(MH_HASHES))
+    return f"""
+WITH tok AS (
+  SELECT lpad(doc_id::VARCHAR, 10, '0') AS docid,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT docid, unnest(list_distinct(
+    CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+         ELSE [array_to_string(t[i + 1 : i + {k}], ' ') FOR i IN range(0, len(t) - {k} + 1)]
+    END)) AS shingle
+  FROM tok
+),
+hashed AS (SELECT docid, ('0x' || substr(md5(shingle), 1, 7))::BIGINT % {p} AS h FROM sh)
+SELECT docid, {mins} FROM hashed GROUP BY docid
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"), F.col("text").alias("content")
+    )
+    return dedup_ops.simhash(d, bits=16, hash_fn="md5").select(F.col("id").alias("docid"), "simhash")
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    p = dedup_ops._MERSENNE
+    terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN tf ELSE -tf END) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT lpad(doc_id::VARCHAR, 10, '0') AS docid,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT docid, term, count(*)::BIGINT AS tf FROM tok GROUP BY docid, term),
+hashed AS (SELECT docid, tf, ('0x' || substr(md5(term), 1, 7))::BIGINT % {p} AS h FROM tf)
+SELECT docid, ({terms})::BIGINT AS simhash FROM hashed GROUP BY docid
+"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard for fixed (doc_id, doc_id+1) pairs — verifies the
+    shingle/verify stage without a candidate explosion."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"), F.col("text").alias("content")
+    )
+    base = d.filter(F.pmod(F.col("docid").cast("long"), F.lit(50)) == 0)
+    cands = base.select(
+        F.col("docid").alias("id_a"),
+        F.lpad((F.col("docid").cast("long") + 1).cast("string"), 10, "0").alias("id_b"),
+    )
+    out = dedup_ops.jaccard_pairs(d, cands, shingle_k=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_JACCARD = """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE [array_to_string(t[i + 1 : i + 3], ' ') FOR i IN range(0, len(t) - 2)]
+    END) AS s
+  FROM tok
+),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, a.s AS sa, b.s AS sb
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 50 = 0
+)
+SELECT lpad(ia::VARCHAR, 10, '0') AS id_a, lpad(ib::VARCHAR, 10, '0') AS id_b,
+       round(len(list_intersect(sa, sb))::DOUBLE / greatest(len(list_distinct(sa || sb)), 1), 6) AS jaccard
+FROM pairs
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ts_ops.quality_features(d, content_col="text", id_col="doc_id")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in ts_ops._STOPWORDS)
+
+SQL_TEXT_QUALITY = f"""
+WITH feat AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_words,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE AS n_alpha,
+         len(list_intersect(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+                            [{_STOP_SQL}]))::DOUBLE AS stop_hits
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_chars, n_words,
+         n_alpha / greatest(n_chars, 1) AS alpha_ratio,
+         n_alpha / greatest(n_words, 1) AS avg_word_len,
+         stop_hits / greatest(n_words, 1) AS stopword_ratio
+  FROM feat
+)
+SELECT doc_id, n_chars, n_words, round(alpha_ratio, 6) AS alpha_ratio,
+       round(avg_word_len, 6) AS avg_word_len, round(stopword_ratio, 6) AS stopword_ratio,
+       round(least(n_words / 50.0, 1.0) * 0.3 + alpha_ratio * 0.4 + least(stopword_ratio * 5.0, 1.0) * 0.3, 6)
+         AS quality_score
+FROM ratios
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        ts_ops.word_count(F.col("text")).cast("long").alias("words"),
+        ts_ops.bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_ish"),
+    )
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS words,
+       (len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+        + length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[a-zA-Z0-9]', '', 'g')))::BIGINT AS bpe_ish
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ts_ops.fingerprint(d, content_col="text", hash_fn="md5").select(
+        F.col("id").cast("long").alias("doc_id"), "fingerprint"
+    )
+
+
+SQL_FINGERPRINT = f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) AS pos FROM tok
+),
+mixed AS (
+  SELECT doc_id, (('0x' || substr(md5(term), 1, 7))::BIGINT % {dedup_ops._MERSENNE}) * pos AS h FROM pos
+)
+SELECT doc_id, bit_xor(h)::BIGINT AS fingerprint FROM mixed GROUP BY doc_id
+"""
+
+
+SIM_QIDS = [0, 7, 23]
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id").isin(SIM_QIDS)).select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = sim_ops.cosine_topk(emb, q, k=5)
+    return out.select(
+        "qid",
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 4).alias("cos"),
+    )
+
+
+SQL_COSINE = f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+q AS (SELECT 'v' || vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({", ".join(str(i) for i in SIM_QIDS)})),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM e CROSS JOIN q
+),
+ranked AS (
+  SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ts_ops.language_id(d, content_col="text").select(
+        F.col("id").cast("long").alias("doc_id"), "lang_pred"
+    )
+
+
+def _sql_lang_id() -> str:
+    words = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    hits = {
+        lang: f"len(list_intersect({words}, [{', '.join(chr(39) + m + chr(39) for m in ms)}]))"
+        for lang, ms in ts_ops._LANG_MARKERS.items()
+    }
+    best = f"greatest({hits['es']}, {hits['de']}, {hits['fr']}, {hits['en']})"
+    marker = (
+        f"CASE WHEN {best} <= 0 THEN 'unknown' "
+        + " ".join(f"WHEN {hits[lang]} = {best} THEN '{lang}'" for lang in ["en", "es", "de", "fr"])
+        + " ELSE 'unknown' END"
+    )
+    return f"""
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+       WHEN regexp_matches(text, '[가-힯]') THEN 'ko'
+       WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+       WHEN regexp_matches(text, '[Ͱ-Ͽ]') THEN 'el'
+       ELSE {marker} END AS lang_pred
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational breadth (TPC-H-ish substrate)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped groupBy-agg (A5-adjacent breadth check)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .select("l_returnflag", "l_linestatus", "sum_qty", "sum_disc_price", F.col("count_order").cast("long").alias("count_order"))
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity::DOUBLE), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: join + window top-k (T1-adjacent)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_semi")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rk").cast("long").alias("rk"), F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, rk, round(o_totalprice, 2) AS o_totalprice FROM (
+  SELECT o.o_custkey, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY o.o_custkey ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rk
+  FROM orders o WHERE o.o_custkey IN (SELECT c_custkey FROM customer)
+) WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (no SQL twin; pytest oracles cover their semantics)
+# ---------------------------------------------------------------------------
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id").isin(SIM_QIDS)).select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = sim_ops.lsh_topk(emb, q, k=5, n_planes=8, n_tables=4, dim=64)
+    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"), F.col("rank").cast("long").alias("rank"))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"), F.col("text").alias("content")
+    )
+    sigs = dedup_ops.minhash_signatures(d, num_hashes=32, shingle_k=3)
+    return dedup_ops.minhash_lsh_candidates(sigs, num_hashes=32, bands=16)
+
+
+def q_setwise_bubblesort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: reference heuristic (non-gold) — rows-only; loop semantics are
+    pytest-verified against an independent simulation."""
+    return _rerank_entry(spark, sf_dir, "setwise.bubblesort", k=5, num_child=2)
+
+
+def q_pairwise_bubblesort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: same status as T5."""
+    return _rerank_entry(spark, sf_dir, "pairwise.bubblesort", k=5)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    # (spark_fn, oracle_sql or None)
+    "s5_s6_bm25_wand_topk": (q_bm25_wand, BM25_ORACLE_SQL),
+    "s6_bm25_dataframe_topk": (q_bm25_dataframe, BM25_ORACLE_SQL),
+    "f3_hits_cap": (q_hits_cap, SQL_HITS_CAP),
+    "f4_excluded_filter": (q_excluded_filter, SQL_EXCLUDED),
+    "f5_qid_filter": (q_qid_filter, SQL_QID_FILTER),
+    "f7_inverse_rank": (q_inverse_rank, SQL_INVERSE),
+    "j4_a4_fusion": (q_fusion, SQL_FUSION),
+    "s8_ndcg10": (q_ndcg10, SQL_NDCG),
+    "t4_setwise_heapsort": (q_setwise_heapsort, SQL_TOPK_ASSEMBLY),
+    "t2_pairwise_heapsort": (q_pairwise_heapsort, SQL_TOPK_ASSEMBLY),
+    "a1_pairwise_allpair": (q_pairwise_allpair, SQL_ALLPAIR),
+    "t6_listwise_full_window": (q_listwise_full, SQL_LISTWISE),
+    "f6_dedup_exact_groups": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_signatures": (q_minhash, _sql_minhash()),
+    "dedup_simhash": (q_simhash, _sql_simhash()),
+    "dedup_ngram_jaccard": (q_jaccard_pairs, SQL_JACCARD),
+    "text_quality_features": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "text_language_id": (q_lang_id, _sql_lang_id()),
+    "sim_cosine_topk": (q_cosine_topk, SQL_COSINE),
+    "rel_lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "rel_top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS),
+    # rows-only (engine-hash / heuristic paths; semantics pytest-covered)
+    "sim_lsh_topk": (q_lsh_topk, None),
+    "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    "t5_setwise_bubblesort": (q_setwise_bubblesort, None),
+    "t3_pairwise_bubblesort": (q_pairwise_bubblesort, None),
+}

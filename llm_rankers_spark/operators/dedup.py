@@ -74,6 +74,26 @@ def _with_shingles(docs: DataFrame, id_col: str, content_col: str, k: int, mode:
     )
 
 
+def minhash_params(num_hashes: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    """The (a, b) universal-hash coefficients — exposed so an external
+    oracle (e.g. DuckDB SQL) can reproduce the exact signatures."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).tolist()
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).tolist()
+    return a, b
+
+
+def base_hash_col(col, hash_fn: str = "xxhash64"):
+    """31-bit base hash of a string column. 'xxhash64' is the fast JVM path;
+    'md5' derives it from the md5 hex digest — every ANSI engine computes
+    the identical value, which is what makes DuckDB-oracle parity possible."""
+    if hash_fn == "md5":
+        raw = F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+    else:
+        raw = F.xxhash64(col)
+    return F.pmod(raw, F.lit(_MERSENNE))
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "docid",
@@ -81,20 +101,19 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 5,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures, fully JVM-side.
 
-    One base 64-bit hash per shingle (xxhash64), then ``num_hashes``
-    universal-hash permutations ``(a*h + b) mod p`` folded with ``min``
-    aggregates — no UDF, map-side combinable, one shuffle on id."""
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    One base 31-bit hash per shingle, then ``num_hashes`` universal-hash
+    permutations ``(a*h + b) mod p`` folded with ``min`` aggregates — no
+    UDF, map-side combinable, one shuffle on id."""
+    a, b = minhash_params(num_hashes, seed)
 
     sh = (
         _with_shingles(docs, id_col, content_col, shingle_k)
         .select("id", F.explode("sh").alias("shingle"))
-        .withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
+        .withColumn("h", base_hash_col(F.col("shingle"), hash_fn))
     )
 
     mins = sh.groupBy("id").agg(
@@ -188,16 +207,18 @@ def simhash(
     content_col: str = "content",
     bits: int = 64,
     mode: str = "simple",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash long): tf-weighted bit-majority over token hashes.
 
     All JVM-side: explode tokens → tf weights → per-bit signed sums → sign
-    bits reassembled. ``bits`` aggregate expressions, one shuffle on id."""
+    bits reassembled. ``bits`` aggregate expressions, one shuffle on id.
+    hash_fn='md5' gives the 31-bit engine-portable hash (bits capped at 31)."""
     tf = (
         docs.select(F.col(id_col).alias("id"), F.explode(tokens_col(content_col, mode=mode)).alias("tok"))
         .groupBy("id", "tok")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", F.xxhash64("tok") if hash_fn == "xxhash64" else base_hash_col(F.col("tok"), "md5"))
     )
     bit_sums = tf.groupBy("id").agg(
         *[
