@@ -130,15 +130,14 @@ class _ListIter:
         return self.weight * tf / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
-def _score_group_exhaustive(pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float) -> pd.DataFrame:
-    """Decode all lists; accumulate per-doc in sorted-term order; top-k."""
-    pdf = pdf.sort_values("term")
+def _score_rows_exhaustive(qid: str, rows: list, k: int, k1: float, b: float, avgdl: float) -> pd.DataFrame:
+    """Decode all lists; accumulate per-doc in sorted-term order; top-k.
+    ``rows`` = [(posting_row, weight)] already sorted by term."""
     all_ords, all_scores = [], []
-    for _, row in pdf.iterrows():
+    for row, w in rows:
         ords, tfs, dls = codec.unpack_all(
             {"n": int(row["n"]), "docs_blob": row["docs_blob"], "tfs_blob": row["tfs_blob"], "dls_blob": row["dls_blob"]}
         )
-        w = float(row["qw"]) * float(row["idf"])
         tf = tfs.astype(np.float64)
         contrib = w * tf / (tf + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
         all_ords.append(ords)
@@ -150,17 +149,13 @@ def _score_group_exhaustive(pdf: pd.DataFrame, k: int, k1: float, b: float, avgd
     np.add.at(scores, inv, contribs)  # adds in concatenation order == sorted-term order
     # top-k by (score desc, ord asc)
     order = np.lexsort((uniq, -scores))[:k]
-    return pd.DataFrame({"qid": pdf["qid"].iloc[0], "ord": uniq[order], "score": scores[order]})
+    return pd.DataFrame({"qid": qid, "ord": uniq[order], "score": scores[order]})
 
 
-def _score_group_wand(pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: float, use_block_max: bool) -> pd.DataFrame:
-    """Block-max WAND with a bounded min-heap over one (qid, shard) group."""
-    pdf = pdf.sort_values("term")
-    iters = [
-        _ListIter(row, float(row["qw"]) * float(row["idf"]))
-        for _, row in pdf.iterrows()
-        if int(row["n"]) > 0
-    ]
+def _score_rows_wand(qid: str, rows: list, k: int, k1: float, b: float, avgdl: float, use_block_max: bool) -> pd.DataFrame:
+    """Block-max WAND with a bounded min-heap over one query's shard lists.
+    ``rows`` = [(posting_row, weight)] already sorted by term."""
+    iters = [_ListIter(row, w) for row, w in rows if int(row["n"]) > 0]
     heap: list[tuple[float, int]] = []  # (score, -ord): kth best at heap[0]
     theta = -np.inf
     while True:
@@ -213,11 +208,11 @@ def _score_group_wand(pdf: pd.DataFrame, k: int, k1: float, b: float, avgdl: flo
             # advance all lists before the pivot up to the pivot doc
             for it in live[:pivot_idx]:
                 it.advance_to(pivot_doc)
-    rows = sorted(((s, -negord) for s, negord in heap), key=lambda t: (-t[0], t[1]))
+    ranked = sorted(((s, -negord) for s, negord in heap), key=lambda t: (-t[0], t[1]))
     return pd.DataFrame(
-        {"qid": pdf["qid"].iloc[0] if len(pdf) else None,
-         "ord": [o for _, o in rows],
-         "score": [s for s, _ in rows]}
+        {"qid": qid,
+         "ord": [o for _, o in ranked],
+         "score": [s for s, _ in ranked]}
     )
 
 
@@ -230,31 +225,77 @@ def search(
     b: float | None = None,
     tag: str = "llm_rankers_spark",
 ) -> DataFrame:
-    """BM25 top-k → TREC-shaped DataFrame (qid, docid, rank, score, tag)."""
+    """BM25 top-k → TREC-shaped DataFrame (qid, docid, rank, score, tag).
+
+    Batch-query plan: postings are LEFT-SEMI joined on the *distinct* term
+    set of the whole batch (each posting row shuffles at most once, never
+    once per query — the naive postings⋈(qid,term) join replicates the
+    index by the batch size), then one ``applyInPandas`` per shard runs
+    every query's traversal over that shard's lists. The per-query term
+    weights (qid, term, qw, idf) are tiny and ride along in the closure.
+    """
     meta = index.meta
     k1 = meta.k1 if k1 is None else k1
     b = meta.b if b is None else b
     use_block_max = method == "wand" and k1 == meta.k1 and b == meta.b
     avgdl = meta.avgdl
 
-    qt = query_terms(queries, meta.tokenizer_mode)
-    qt = qt.join(index.term_stats.select("term", "df"), "term", "inner")
-    qt = qt.withColumn("idf", _idf(meta.n_docs)(F.col("df"))).select("qid", "term", "qw", "idf")
+    # Query batches are driver-side small data: tokenize them right here with
+    # the SAME shared tokenizer (no UDF stage, no shuffle — one filter job
+    # against term_stats fetches the df values).
+    import math
+    from collections import Counter
 
-    # postings ⋈ query terms: query side is tiny → broadcast, postings side
-    # streams shard-partitioned parquet (partition pruning on shard intact).
-    cand = index.postings.join(F.broadcast(qt), "term", "inner")
+    from llm_rankers_spark.functions.tokenize import tokenize
 
-    if method == "exhaustive":
-        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _score_group_exhaustive(pdf, k, k1, b, avgdl)
-    else:
-        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _score_group_wand(pdf, k, k1, b, avgdl, use_block_max)
+    qrows = queries.select("qid", "query").collect()
+    qcounts = {r["qid"]: Counter(tokenize(r["query"] or "", meta.tokenizer_mode)) for r in qrows}
+    distinct_terms = sorted({t for c in qcounts.values() for t in c})
+    if not distinct_terms:
+        empty = queries.sparkSession.createDataFrame([], "qid string, docid string, rank int, score double, tag string")
+        return empty
+    df_map = {
+        r["term"]: int(r["df"])
+        for r in index.term_stats.filter(F.col("term").isin(distinct_terms)).select("term", "df").collect()
+    }
+    n_docs = float(meta.n_docs)
+    # (qid → [(term, weight)]) — bounded by batch_size × query_len
+    qplan: dict[str, list[tuple[str, float]]] = {}
+    for qid, counts in qcounts.items():
+        tws = [
+            (t, qw * math.log(1.0 + (n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5)))
+            for t, qw in counts.items()
+            if t in df_map
+        ]
+        if tws:
+            qplan[qid] = tws
+    live_terms = sorted({t for tws in qplan.values() for t, _ in tws})
+    terms_df = queries.sparkSession.createDataFrame([(t,) for t in live_terms], "term string")
 
-    partial = cand.groupBy("qid", "shard").applyInPandas(
-        lambda key, pdf: scorer(pdf), schema=RESULT_SCHEMA
-    )
+    cand = index.postings.join(F.broadcast(terms_df), "term", "left_semi")
+
+    def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("term")
+        by_term = {t: g for t, g in pdf.groupby("term", sort=True)}
+        outs = []
+        for qid, tws in qplan.items():
+            rows = []
+            for term, w in sorted(tws):
+                g = by_term.get(term)
+                if g is not None:
+                    for _, row in g.iterrows():
+                        rows.append((row, w))
+            if not rows:
+                continue
+            if method == "exhaustive":
+                outs.append(_score_rows_exhaustive(qid, rows, k, k1, b, avgdl))
+            else:
+                outs.append(_score_rows_wand(qid, rows, k, k1, b, avgdl, use_block_max))
+        if not outs:
+            return pd.DataFrame({"qid": pd.Series(dtype="object"), "ord": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    partial = cand.groupBy("shard").applyInPandas(lambda key, pdf: scorer(pdf), schema=RESULT_SCHEMA)
 
     # exact global top-k: shards are disjoint doc ranges, so the union of
     # per-shard top-k contains the global top-k.
