@@ -48,6 +48,48 @@ def bench_queries(spark, n=64):
     return spark.createDataFrame(rows, "qid string, query string")
 
 
+def run_scaling_workload(master: str, n_docs: int, n_queries: int = 256) -> dict[str, float]:
+    """Scaling probe on the synthetic code corpus (FIXTURES.md §1 shape):
+    enough tokenization/shuffle/pack work that parallelism, not fixed
+    driver costs, dominates — the honest N vs 4N comparison."""
+    import tempfile
+
+    from llm_rankers_spark.corpus import generate_corpus, with_docid
+    from llm_rankers_spark.operators.bm25 import search
+    from llm_rankers_spark.operators.index_build import build_index
+    from llm_rankers_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench_scale_{master}", master=master)
+    try:
+        docs = with_docid(generate_corpus(spark, n_docs, seed=42, partitions=64)).persist()
+        docs.count()  # materialize generation outside the timed section
+        times: dict[str, float] = {"n_docs": float(n_docs), "n_queries": float(n_queries)}
+
+        idx_path = tempfile.mkdtemp(prefix="llmrs_scale_idx_")
+        t0 = time.perf_counter()
+        idx = build_index(
+            docs.select("docid", "content", "content_sha256"), idx_path, tokenizer_mode="code", num_shards=32
+        )
+        times["build"] = time.perf_counter() - t0
+
+        qrows = []
+        pool = ["parse", "query", "import", "def", "return", "self", "request", "handler",
+                "stream", "batch", "merge", "index", "block", "shard", "posting", "helper"]
+        for i in range(n_queries):
+            terms = [pool[(i * 5 + j) % len(pool)] for j in range(1 + i % 4)]
+            qrows.append((f"s{i}", " ".join(terms)))
+        qs = spark.createDataFrame(qrows, "qid string, query string")
+        t0 = time.perf_counter()
+        search(idx, qs, k=10, method="wand").count()
+        times["bm25_wand"] = time.perf_counter() - t0
+
+        shutil.rmtree(idx_path, ignore_errors=True)
+        docs.unpersist()
+        return times
+    finally:
+        spark.stop()
+
+
 def run_workload(master: str, sf_dir: str, scale_only: bool = False) -> dict[str, float]:
     from pyspark.sql import functions as F
 
@@ -118,12 +160,42 @@ def run_workload(master: str, sf_dir: str, scale_only: bool = False) -> dict[str
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="two-point local[8] vs local[32] run → BENCH/BASELINE.md")
+    ap.add_argument("--scale-worker", default=None, help="internal: run one scaling measurement in this master")
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
 
+    if args.scale_worker:
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
+        print(json.dumps(run_scaling_workload(args.scale_worker, n_docs)))
+        return
+
     if args.scaling:
-        lo = run_workload("local[8]", args.sf_dir, scale_only=True)
-        hi = run_workload("local[32]", args.sf_dir, scale_only=True)
+        # Sized so parallel work dominates per-session fixed costs (worker
+        # startup, job scheduling) — below ~60k docs the 32-core run is
+        # overhead-bound and the comparison measures the harness, not the
+        # engine. Each measurement runs in a FRESH subprocess, alternating
+        # configs, best-of-2, to cancel JVM/page-cache/load drift.
+        import subprocess
+
+        def measure(master: str) -> dict[str, float]:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-worker", master],
+                capture_output=True, text=True, check=True,
+            )
+            return json.loads(out.stdout.strip().splitlines()[-1])
+
+        runs = {"local[8]": [], "local[32]": []}
+        for _ in range(2):
+            for master in ("local[8]", "local[32]"):
+                runs[master].append(measure(master))
+
+        def best(master: str) -> dict[str, float]:
+            return {
+                k: min(r[k] for r in runs[master]) if k not in ("n_docs", "n_queries") else runs[master][0][k]
+                for k in runs[master][0]
+            }
+
+        lo, hi = best("local[8]"), best("local[32]")
         rows = []
         for key, unit_count in [("build", lo["n_docs"]), ("bm25_wand", lo["n_queries"])]:
             thr_lo = unit_count / lo[key]
@@ -133,7 +205,7 @@ def main() -> None:
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write("# BENCH — two-point scaling evidence (local[8] vs local[32])\n\n")
-            f.write(f"Input: `{args.sf_dir}` ({int(lo['n_docs'])} docs, {int(lo['n_queries'])} queries); ")
+            f.write(f"Input: synthetic code corpus, {int(lo['n_docs'])} docs (seed=42), {int(lo['n_queries'])} BM25 queries; ")
             f.write("identical workload at both parallelism levels — sandbox stand-in for N vs 4N executors.\n\n")
             f.write("| stage | unit | throughput @8 | throughput @32 | efficiency (thr32 / 4·thr8) |\n")
             f.write("|---|---|---|---|---|\n")

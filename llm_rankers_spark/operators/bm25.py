@@ -152,10 +152,18 @@ def _score_rows_exhaustive(qid: str, rows: list, k: int, k1: float, b: float, av
     return pd.DataFrame({"qid": qid, "ord": uniq[order], "score": scores[order]})
 
 
-def _score_rows_wand(qid: str, rows: list, k: int, k1: float, b: float, avgdl: float, use_block_max: bool) -> pd.DataFrame:
+def _score_rows_wand(
+    qid: str, rows: list, k: int, k1: float, b: float, avgdl: float, use_block_max: bool,
+    safe_ub: bool = False,
+) -> pd.DataFrame:
     """Block-max WAND with a bounded min-heap over one query's shard lists.
-    ``rows`` = [(posting_row, weight)] already sorted by term."""
+    ``rows`` = [(posting_row, weight)] already sorted by term. ``safe_ub``
+    replaces the baked per-list tf-norm bound with the universal tf_norm ≤ 1
+    (needed when scoring params differ from the ones baked at build)."""
     iters = [_ListIter(row, w) for row, w in rows if int(row["n"]) > 0]
+    if safe_ub:
+        for it in iters:
+            it.ub = it.weight
     heap: list[tuple[float, int]] = []  # (score, -ord): kth best at heap[0]
     theta = -np.inf
     while True:
@@ -224,8 +232,14 @@ def search(
     k1: float | None = None,
     b: float | None = None,
     tag: str = "llm_rankers_spark",
+    stats_override: tuple | None = None,
 ) -> DataFrame:
     """BM25 top-k → TREC-shaped DataFrame (qid, docid, rank, score, tag).
+
+    ``stats_override=(n_docs, avgdl, term_stats_df)`` swaps in global
+    statistics — used by multi-segment search, where idf/avgdl must be
+    computed across all segments (Lucene IndexSearcher semantics) while
+    postings stay segment-local.
 
     Batch-query plan: postings are LEFT-SEMI joined on the *distinct* term
     set of the whole batch (each posting row shuffles at most once, never
@@ -237,8 +251,13 @@ def search(
     meta = index.meta
     k1 = meta.k1 if k1 is None else k1
     b = meta.b if b is None else b
-    use_block_max = method == "wand" and k1 == meta.k1 and b == meta.b
-    avgdl = meta.avgdl
+    n_override, avgdl_override, ts_override = stats_override if stats_override else (None, None, None)
+    avgdl = avgdl_override if avgdl_override is not None else meta.avgdl
+    # block-max bounds are baked at index (k1, b, segment avgdl); any override
+    # invalidates them → fall back to plain WAND term bounds
+    use_block_max = (
+        method == "wand" and k1 == meta.k1 and b == meta.b and avgdl_override is None
+    )
 
     # Query batches are driver-side small data: tokenize them right here with
     # the SAME shared tokenizer (no UDF stage, no shuffle — one filter job
@@ -254,11 +273,12 @@ def search(
     if not distinct_terms:
         empty = queries.sparkSession.createDataFrame([], "qid string, docid string, rank int, score double, tag string")
         return empty
+    ts = ts_override if ts_override is not None else index.term_stats
     df_map = {
         r["term"]: int(r["df"])
-        for r in index.term_stats.filter(F.col("term").isin(distinct_terms)).select("term", "df").collect()
+        for r in ts.filter(F.col("term").isin(distinct_terms)).select("term", "df").collect()
     }
-    n_docs = float(meta.n_docs)
+    n_docs = float(n_override if n_override is not None else meta.n_docs)
     # (qid → [(term, weight)]) — bounded by batch_size × query_len
     qplan: dict[str, list[tuple[str, float]]] = {}
     for qid, counts in qcounts.items():
@@ -290,7 +310,7 @@ def search(
             if method == "exhaustive":
                 outs.append(_score_rows_exhaustive(qid, rows, k, k1, b, avgdl))
             else:
-                outs.append(_score_rows_wand(qid, rows, k, k1, b, avgdl, use_block_max))
+                outs.append(_score_rows_wand(qid, rows, k, k1, b, avgdl, use_block_max, safe_ub=not use_block_max))
         if not outs:
             return pd.DataFrame({"qid": pd.Series(dtype="object"), "ord": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
         return pd.concat(outs, ignore_index=True)

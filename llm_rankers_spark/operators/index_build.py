@@ -125,8 +125,6 @@ def build_index(
     if "content_sha256" not in docs.columns:
         docs = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
-    fp = input_fingerprint(docs)
-
     tokened = docs.select(
         "docid",
         "content_sha256",
@@ -134,30 +132,69 @@ def build_index(
     ).withColumn("dl", F.size("tokens"))
 
     # --- dense ordinals by docid order (deterministic, distributed) -------
-    # range-partition + sort, then number with per-partition offsets; this is
-    # the scalable idiom for a global dense rank (no single-partition window).
+    # Two-pass Arrow-native dense rank: range-partition + sort by docid,
+    # count rows per partition, then assign ordinal = partition offset +
+    # local position inside a mapInPandas. No Python-RDD round trip (the
+    # zipWithIndex variant pickles every token array and anti-scales).
     n_part = max(docs.sparkSession.sparkContext.defaultParallelism, 4)
-    sorted_docs = tokened.repartitionByRange(n_part, "docid").sortWithinPartitions("docid")
-    with_ord = (
-        sorted_docs.rdd.zipWithIndex()
-        .map(lambda t: (t[0]["docid"], t[0]["content_sha256"], t[0]["tokens"], t[0]["dl"], t[1]))
-        .toDF(["docid", "content_sha256", "tokens", "dl", "ord"])
+    sorted_docs = (
+        tokened.repartitionByRange(n_part, "docid")
+        .sortWithinPartitions("docid")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
-    with_ord = with_ord.persist()
+    pid_counts = {r["pid"]: r["cnt"] for r in sorted_docs.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(pid_counts):
+        offsets[pid] = acc
+        acc += pid_counts[pid]
 
-    n_docs = with_ord.count()
+    def assign_ord(batches):
+        local = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if local is None:
+                local = offsets[int(pdf["pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf["ord"] = range(local, local + len(pdf))
+            local += len(pdf)
+            yield pdf.drop(columns=["pid"])
+
+    # with_ord is NOT persisted: it recomputes cheaply from the persisted
+    # sorted_docs, and caching a second copy of every token array doubles
+    # memory pressure (measured: the 32-core build GC-thrashed into being
+    # slower than the 8-core one).
+    with_ord = sorted_docs.mapInPandas(
+        assign_ord,
+        schema="docid string, content_sha256 string, tokens array<string>, dl int, ord long",
+    )
+
+    n_docs = sum(pid_counts.values())
     shard_size = max(1, -(-n_docs // num_shards))
-    avgdl = with_ord.agg(F.avg("dl")).collect()[0][0] or 0.0
 
-    doc_map = with_ord.select("ord", "docid", "dl", "content_sha256")
-    doc_map.repartitionByRange(num_shards, "ord").write.mode("overwrite").parquet(os.path.join(path, "doc_map"))
+    # doc_map rides the existing docid-range partitioning — no extra shuffle;
+    # the same pass provides avgdl + the input fingerprint
+    with_ord.select("ord", "docid", "dl", "content_sha256").write.mode("overwrite").parquet(
+        os.path.join(path, "doc_map")
+    )
+    doc_map_df = spark.read.parquet(os.path.join(path, "doc_map"))
+    stats_row = doc_map_df.agg(
+        F.avg("dl").alias("avgdl"), F.sum(F.crc32(F.col("docid"))).alias("crc")
+    ).collect()[0]
+    avgdl = float(stats_row["avgdl"] or 0.0)
+    fp = f"{n_docs}:{stats_row['crc']}"
 
     # --- term/doc frequencies (partial agg combines map-side) -------------
+    # persisted slim (no token arrays) because both term_stats and the pack
+    # stage consume it
     td = (
         with_ord.select("ord", "dl", F.explode("tokens").alias("term"))
         .groupBy("term", "ord", "dl")
         .agg(F.count("*").alias("tf"))
         .withColumn("shard", (F.col("ord") / F.lit(shard_size)).cast("int"))
+        .persist()
     )
 
     term_stats = td.groupBy("term").agg(
@@ -165,36 +202,52 @@ def build_index(
         F.sum("tf").alias("cf"),
     )
     term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
+    sorted_docs.unpersist()
 
     # --- pack posting lists per (term, shard) ------------------------------
+    # grouped by (shard, term_bucket) rather than (shard, term): a code
+    # corpus has millions of rare identifier terms, and per-group Arrow
+    # overhead on millions of tiny groups dominates; bucketing amortizes it
+    # while each term still packs independently inside the group.
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ord")
-        p = codec.pack_postings(
-            pdf["ord"].to_numpy(np.int64),
-            pdf["tf"].to_numpy(np.int64),
-            pdf["dl"].to_numpy(np.int64),
-            avgdl=avgdl,
-            k1=k1,
-            b=b,
-        )
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "shard": [int(pdf["shard"].iloc[0])],
-                "n": [p.n],
-                "docs_blob": [p.docs_blob],
-                "tfs_blob": [p.tfs_blob],
-                "dls_blob": [p.dls_blob],
-                "block_last": [p.block_last.tolist()],
-                "block_max_tfn": [p.block_max_tfn.tolist()],
-                "doc_offs": [p.doc_offs.tolist()],
-                "tf_offs": [p.tf_offs.tolist()],
-                "dl_offs": [p.dl_offs.tolist()],
-            }
-        )
+        pdf = pdf.sort_values(["term", "ord"])
+        out = {c: [] for c in (
+            "term", "shard", "n", "docs_blob", "tfs_blob", "dls_blob",
+            "block_last", "block_max_tfn", "doc_offs", "tf_offs", "dl_offs",
+        )}
+        shard = int(pdf["shard"].iloc[0])
+        for term, g in pdf.groupby("term", sort=False):
+            p = codec.pack_postings(
+                g["ord"].to_numpy(np.int64),
+                g["tf"].to_numpy(np.int64),
+                g["dl"].to_numpy(np.int64),
+                avgdl=avgdl,
+                k1=k1,
+                b=b,
+            )
+            out["term"].append(term)
+            out["shard"].append(shard)
+            out["n"].append(p.n)
+            out["docs_blob"].append(p.docs_blob)
+            out["tfs_blob"].append(p.tfs_blob)
+            out["dls_blob"].append(p.dls_blob)
+            out["block_last"].append(p.block_last.tolist())
+            out["block_max_tfn"].append(p.block_max_tfn.tolist())
+            out["doc_offs"].append(p.doc_offs.tolist())
+            out["tf_offs"].append(p.tf_offs.tolist())
+            out["dl_offs"].append(p.dl_offs.tolist())
+        return pd.DataFrame(out)
 
-    postings = td.groupBy("term", "shard").applyInPandas(pack, schema=POSTINGS_SCHEMA)
-    postings.write.mode("overwrite").partitionBy("shard").parquet(os.path.join(path, "postings"))
+    td_b = td.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(64)))
+    postings = td_b.groupBy("shard", "bucket").applyInPandas(
+        lambda key, pdf: pack(pdf.drop(columns=["bucket"])), schema=POSTINGS_SCHEMA
+    )
+    # plain parquet with `shard` as a column: query-time grouping shuffles on
+    # shard anyway, and hive-partitionBy here would fan each pack task out
+    # into one file per shard (file-commit overhead). A production deployment
+    # would bucketBy(shard).sortBy(term) into a table so the query-time
+    # groupBy(shard) is shuffle-free.
+    postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
 
     # --- lineage manifest (per-shard row/posting counts + checksum) --------
     shard_stats = (
@@ -231,5 +284,5 @@ def build_index(
     with open(_meta_path(path), "w") as f:
         json.dump(meta.__dict__, f, indent=1)
 
-    with_ord.unpersist()
+    td.unpersist()
     return InvertedIndex(spark, path, meta)

@@ -1,0 +1,166 @@
+"""End-to-end pipeline: build → search → filter → rerank → TREC sink → eval.
+
+This is the engine's ownership of the reference's BRIGHT batch pipeline
+(SURVEY.md §3 E3): write_pyserini_corpus → index_corpus.sh → search.sh →
+filter_run.py → run_setwise.py → eval.sh, as one resumable DataFrame job
+graph.
+
+Resume model (north rule: "resumable from checkpoint with per-partition
+lineage + metrics"):
+
+- the index has its own manifest/fingerprint resume (index_build.py);
+- every later stage writes parquet plus a ``_stage.json`` fingerprint of
+  its inputs; rerun with ``resume=True`` skips stages whose fingerprint
+  matches (byte-identical outputs — everything downstream is
+  deterministic);
+- the rerank stage additionally resumes per query: completed qids are
+  anti-joined away and only the remainder is reranked, mirroring the
+  reference's save/skip/append loop (Rank-R1/run_setwise.py:284-302).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from llm_rankers_spark.operators import runs as runs_ops
+from llm_rankers_spark.operators.bm25 import search
+from llm_rankers_spark.operators.index_build import build_index
+from llm_rankers_spark.operators.rerank import MockComparator, rerank
+
+
+def _fingerprint(df: DataFrame, cols: list[str]) -> str:
+    row = df.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.crc32(F.col(c).cast("string"))).alias(f"c_{c}") for c in cols],
+    ).collect()[0]
+    return ":".join(str(row[i]) for i in range(len(cols) + 1))
+
+
+class Stage:
+    def __init__(self, work_dir: str, name: str):
+        self.path = os.path.join(work_dir, name)
+        self.meta_path = os.path.join(work_dir, f"_{name}_stage.json")
+
+    def is_done(self, fp: str) -> bool:
+        if not (os.path.exists(self.meta_path) and os.path.exists(self.path)):
+            return False
+        with open(self.meta_path) as f:
+            return json.load(f).get("fingerprint") == fp
+
+    def mark(self, fp: str, extra: dict | None = None) -> None:
+        with open(self.meta_path, "w") as f:
+            json.dump({"fingerprint": fp, **(extra or {})}, f)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: DataFrame,
+    work_dir: str,
+    qrels: DataFrame | None = None,
+    excluded: DataFrame | None = None,
+    hits: int = 100,
+    rerank_k: int = 10,
+    rerank_method: str = "setwise.heapsort",
+    comparator=None,
+    tokenizer_mode: str = "code",
+    num_shards: int = 8,
+    resume: bool = True,
+) -> dict:
+    """Returns {"run_path", "trec_path", "metrics", "ndcg" (if qrels)}."""
+    os.makedirs(work_dir, exist_ok=True)
+    metrics: dict[str, float] = {}
+    t_all = time.time()
+
+    # 1. index (self-resuming)
+    t0 = time.time()
+    idx = build_index(
+        docs,
+        os.path.join(work_dir, "index"),
+        tokenizer_mode=tokenizer_mode,
+        num_shards=num_shards,
+        resume=resume,
+    )
+    metrics["index_sec"] = time.time() - t0
+
+    q_fp = _fingerprint(queries, ["qid", "query"]) + f":{hits}:{idx.meta.input_fingerprint}"
+
+    # 2. first-stage BM25
+    st_first = Stage(work_dir, "first_stage")
+    t0 = time.time()
+    if not (resume and st_first.is_done(q_fp)):
+        first = search(idx, queries, k=hits, method="wand")
+        first.write.mode("overwrite").parquet(st_first.path)
+        st_first.mark(q_fp)
+    first = spark.read.parquet(st_first.path)
+    metrics["search_sec"] = time.time() - t0
+
+    # 3. exclusion filter (optional)
+    if excluded is not None:
+        ex_fp = q_fp + ":" + _fingerprint(excluded, ["qid", "docid"])
+        st_filt = Stage(work_dir, "filtered")
+        if not (resume and st_filt.is_done(ex_fp)):
+            runs_ops.filter_excluded(first, excluded).write.mode("overwrite").parquet(st_filt.path)
+            st_filt.mark(ex_fp)
+        first = spark.read.parquet(st_filt.path)
+
+    # 4. rerank with per-qid resume
+    comparator = comparator or MockComparator()
+    st_rr = Stage(work_dir, "reranked")
+    rr_fp = q_fp + f":{rerank_method}:{rerank_k}"
+    t0 = time.time()
+    if not (resume and st_rr.is_done(rr_fp)):
+        cands = (
+            runs_ops.attach_text(first, docs.select("docid", F.col("content")))
+            .join(queries, "qid")
+            .select("qid", "query", "docid", "rank", "text")
+        )
+        done_qids = None
+        if resume and os.path.exists(st_rr.path):
+            try:
+                existing = spark.read.parquet(st_rr.path)
+                done_qids = existing.select("qid").distinct()
+            except Exception:
+                existing, done_qids = None, None
+        if done_qids is not None:
+            todo = cands.join(done_qids, "qid", "left_anti")
+            if todo.limit(1).count() > 0:
+                fresh = rerank(todo, method=rerank_method, comparator=comparator, k=rerank_k)
+                merged = existing.unionByName(fresh)
+            else:
+                merged = existing
+            # rewrite atomically so a rerun is byte-identical to a single shot
+            tmp = st_rr.path + "_tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            final = spark.read.parquet(tmp)
+            final.write.mode("overwrite").parquet(st_rr.path)
+        else:
+            rerank(cands, method=rerank_method, comparator=comparator, k=rerank_k).write.mode(
+                "overwrite"
+            ).parquet(st_rr.path)
+        st_rr.mark(rr_fp)
+    reranked = spark.read.parquet(st_rr.path)
+    metrics["rerank_sec"] = time.time() - t0
+
+    # 5. TREC sink
+    trec_path = os.path.join(work_dir, "run.trec")
+    runs_ops.write_trec_run(reranked.withColumn("tag", F.lit("llm_rankers_spark")), trec_path)
+
+    # 6. eval
+    out = {"run_path": st_rr.path, "trec_path": trec_path}
+    if qrels is not None:
+        nd = runs_ops.ndcg_at_k(reranked, qrels, k=10)
+        mean_row = nd.agg(F.avg("ndcg").alias("m")).collect()[0]
+        out["ndcg"] = float(mean_row["m"]) if mean_row["m"] is not None else float("nan")
+        metrics["ndcg_at_10"] = out["ndcg"]
+
+    metrics["total_sec"] = time.time() - t_all
+    with open(os.path.join(work_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    out["metrics"] = metrics
+    return out

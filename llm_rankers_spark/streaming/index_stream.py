@@ -1,0 +1,129 @@
+"""Incremental index maintenance via Structured Streaming.
+
+The reference has no streaming surface (SURVEY.md §2.8) — this is the
+optional extension from §7.1: new documents arrive as files, each
+micro-batch becomes an immutable index SEGMENT (the Lucene segment model,
+re-expressed): its own doc_map/term_stats/postings built by the exact same
+``build_index`` job, registered in a segments manifest by ``foreachBatch``
+(exactly-once per epoch via the manifest's epoch guard).
+
+Query-time: per-segment partial top-k with GLOBAL (cross-segment) df/N/
+avgdl — the same statistics Lucene's IndexSearcher computes across
+segments — then a disjoint-docid top-k merge. A compaction job can fold
+segments back through ``build_index`` offline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from llm_rankers_spark.operators.bm25 import search
+from llm_rankers_spark.operators.index_build import build_index, load_index
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, "_segments.json")
+
+
+def list_segments(root: str) -> list[str]:
+    if not os.path.exists(_manifest_path(root)):
+        return []
+    with open(_manifest_path(root)) as f:
+        return json.load(f)["segments"]
+
+
+def _register_segment(root: str, name: str, epoch: int) -> None:
+    m = {"segments": [], "epochs": []}
+    if os.path.exists(_manifest_path(root)):
+        with open(_manifest_path(root)) as f:
+            m = json.load(f)
+    if epoch in m["epochs"]:
+        return  # replayed epoch (exactly-once guard)
+    m["segments"].append(name)
+    m["epochs"].append(epoch)
+    with open(_manifest_path(root), "w") as f:
+        json.dump(m, f, indent=1)
+
+
+def start_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    root: str,
+    schema: str = "docid string, content string",
+    tokenizer_mode: str = "code",
+    num_shards: int = 4,
+    checkpoint: str | None = None,
+):
+    """Stream parquet files from ``input_dir``; one segment per micro-batch.
+    Returns the StreamingQuery (caller drives with processAllAvailable)."""
+    os.makedirs(root, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def handle_batch(batch_df: DataFrame, epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        name = f"segment_{epoch:05d}"
+        build_index(batch_df, os.path.join(root, name), tokenizer_mode=tokenizer_mode, num_shards=num_shards)
+        _register_segment(root, name, epoch)
+
+    return (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint or os.path.join(root, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def segment_stats(spark: SparkSession, root: str) -> tuple[int, float, DataFrame]:
+    """Global (N, avgdl, df-table) across all registered segments."""
+    segs = [load_index(spark, os.path.join(root, s)) for s in list_segments(root)]
+    n = sum(s.meta.n_docs for s in segs)
+    total_len = sum(s.meta.avgdl * s.meta.n_docs for s in segs)
+    avgdl = total_len / n if n else 0.0
+    df_all = None
+    for s in segs:
+        d = s.term_stats.select("term", "df")
+        df_all = d if df_all is None else df_all.unionByName(d)
+    merged_df = df_all.groupBy("term").agg(F.sum("df").alias("df")) if df_all is not None else None
+    return n, avgdl, merged_df
+
+
+def search_segments(spark: SparkSession, root: str, queries: DataFrame, k: int = 10) -> DataFrame:
+    """BM25 top-k across all segments with global statistics.
+
+    Each segment is searched with the shared search() operator but with a
+    global-stats override (idf/avgdl must be cross-segment — Lucene
+    semantics); per-segment docids are disjoint so the merge is a plain
+    window top-k."""
+    n, avgdl, merged_df = segment_stats(spark, root)
+    if merged_df is None:
+        return spark.createDataFrame([], "qid string, docid string, rank int, score double, tag string")
+    merged_df = merged_df.persist()
+    out = None
+    for seg_name in list_segments(root):
+        idx = load_index(spark, os.path.join(root, seg_name))
+        part = search(idx, queries, k=k, method="wand", stats_override=(n, avgdl, merged_df))
+        out = part if out is None else out.unionByName(part)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "docid", "rank", "score", "tag")
+    )
+
+
+def streaming_event_counts(spark: SparkSession, events_dir: str, window: str = "5 minutes") -> DataFrame:
+    """Watermarked windowed aggregation over the events table (Structured
+    Streaming surface demo): counts + value sums per (window, event_type)."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props map<string,string>"
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+    return agg

@@ -1,0 +1,89 @@
+"""Structured Streaming: incremental segment index + windowed event aggs."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_rankers_spark.corpus import generate_corpus, with_docid
+from llm_rankers_spark.operators.bm25 import search
+from llm_rankers_spark.operators.index_build import build_index
+from llm_rankers_spark.streaming.index_stream import (
+    list_segments,
+    search_segments,
+    start_index_stream,
+    streaming_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def doc_batches(spark, tmp_path_factory):
+    """Two parquet drops landing in the same stream directory."""
+    base = str(tmp_path_factory.mktemp("stream_in"))
+    docs = with_docid(generate_corpus(spark, 120, seed=42)).select("docid", "content")
+    d1 = docs.filter(F.col("docid") < "org3")
+    d2 = docs.filter(F.col("docid") >= "org3")
+    d1.write.mode("overwrite").parquet(os.path.join(base, "drop1"))
+    return base, d1, d2, docs
+
+
+def test_incremental_segments_match_batch_index(spark, doc_batches, tmp_path):
+    base, d1, d2, docs = doc_batches
+    root = str(tmp_path / "segroot")
+
+    q = start_index_stream(spark, os.path.join(base, "*"), root, num_shards=2)
+    q.awaitTermination(120)
+    assert len(list_segments(root)) == 1
+
+    # second drop → second segment
+    d2.write.mode("overwrite").parquet(os.path.join(base, "drop2"))
+    q2 = start_index_stream(spark, os.path.join(base, "*"), root, num_shards=2)
+    q2.awaitTermination(120)
+    segs = list_segments(root)
+    assert len(segs) == 2
+
+    queries = spark.createDataFrame(
+        [("s1", "parse query"), ("s2", "passage_7"), ("s3", "request handler")],
+        "qid string, query string",
+    )
+    got = search_segments(spark, root, queries, k=5)
+
+    # oracle: one monolithic index over the full corpus
+    mono = build_index(docs, str(tmp_path / "mono"), num_shards=2)
+    want = search(mono, queries, k=5, method="wand")
+
+    g = [(r["qid"], r["docid"], r["rank"], round(r["score"], 9)) for r in got.orderBy("qid", "rank").collect()]
+    w = [(r["qid"], r["docid"], r["rank"], round(r["score"], 9)) for r in want.orderBy("qid", "rank").collect()]
+    assert [x[:3] for x in g] == [x[:3] for x in w]  # rank-identical
+    for a, b in zip(g, w):
+        assert a[3] == pytest.approx(b[3], abs=1e-6)
+
+
+def test_segment_replay_is_idempotent(spark, doc_batches, tmp_path):
+    base, d1, _d2, _ = doc_batches
+    root = str(tmp_path / "segroot2")
+    q = start_index_stream(spark, os.path.join(base, "drop1"), root, num_shards=2)
+    q.awaitTermination(120)
+    segs1 = list_segments(root)
+    # replay same input with a FRESH checkpoint (forces epoch re-delivery)
+    q2 = start_index_stream(
+        spark, os.path.join(base, "drop1"), root, num_shards=2, checkpoint=str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    # epoch guard: same epoch id from the fresh checkpoint is registered once
+    assert len(list_segments(root)) == len(segs1)
+
+
+def test_streaming_event_window_counts(spark):
+    agg = streaming_event_counts(spark, "/root/testdata/sf0.001")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("evt_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n) AS total FROM evt_out").collect()[0]["total"]
+    want = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert got == want
