@@ -113,6 +113,39 @@ def driver_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def export_corpus_json(docs: DataFrame, out_path: str) -> None:
+    """S3 (write_pyserini_corpus.py:10-25): JsonCollection export — docid
+    spaces→underscores, first-wins duplicate-id drop, {id, contents} JSON."""
+    from llm_rankers_spark.operators.dedup import dedup_docids
+
+    cleaned = docs.withColumn("docid", F.regexp_replace("docid", " ", "_"))
+    deduped = dedup_docids(cleaned)
+    deduped.select(F.col("docid").alias("id"), F.col("content").alias("contents")).write.mode(
+        "overwrite"
+    ).json(out_path)
+
+
+def clean_query_text(col) -> "F.Column":
+    """S4 (write_pyserini_queries.py:13-21): strip \\n \\t \\r \\f from
+    query text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(c, "[\\n\\t\\r\\f]", " "))
+
+
+def export_queries_tsv(queries: DataFrame, out_path: str) -> None:
+    """S4: (qid, cleaned query) tsv export."""
+    queries.select(
+        F.concat_ws("\t", F.col("qid"), clean_query_text("query")).alias("value")
+    ).write.mode("overwrite").text(out_path)
+
+
+def export_qrels_tsv(qrels: DataFrame, out_path: str) -> None:
+    """S4 (write_pyserini_qrels.py:9-18): ``qid 0 docid rel`` tsv."""
+    qrels.select(
+        F.concat_ws("\t", F.col("qid"), F.lit("0"), F.col("docid"), F.col("rel").cast("string")).alias("value")
+    ).write.mode("overwrite").text(out_path)
+
+
 def generate_queries(spark: SparkSession, corpus_terms: list[str], n_queries: int = 50, seed: int = 42) -> DataFrame:
     """Deterministic query set over a vocabulary (FIXTURES.md §2 mix:
     known-item, hot+rare, all-hot, absent-term)."""

@@ -72,6 +72,33 @@ def tokenize(text: str, mode: str = "code") -> list[str]:
     raise ValueError(f"unknown tokenizer mode: {mode}")
 
 
+def truncate_tokens(text: str, length: int, mode: str = "code") -> str:
+    """F1 (setwise.py:315-316 etc.): clamp text to the first ``length``
+    tokens. The reference detokenizes through the model tokenizer; ours
+    rejoins with single spaces (documented deviation — our tokenizer is
+    also the index tokenizer, so clamp semantics stay self-consistent)."""
+    toks = tokenize(text, mode)
+    return " ".join(toks[:length])
+
+
+def truncate_col(col: Column | str, length: int, mode: str = "code") -> Column:
+    """Vectorized F1 truncate."""
+
+    @F.pandas_udf(T.StringType())
+    def _trunc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: truncate_tokens(x, length, mode) if x is not None else None)
+
+    return _trunc(F.col(col) if isinstance(col, str) else col)
+
+
+def word_clamp_col(col: Column | str, max_words: int = 300) -> Column:
+    """F2 (listwise.py:73-77): ``' '.join(content.split()[:N])`` + strip —
+    pure built-in expressions (slice + array_join), no UDF."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    words = F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+    return F.array_join(F.slice(words, 1, max_words), " ")
+
+
 def tokens_col(col: Column | str, mode: str = "code") -> Column:
     """Vectorized tokenizer column (pandas_udf; Arrow-batched, no per-row
     Python UDF — BASELINE.json input_hint)."""
@@ -83,3 +110,32 @@ def tokens_col(col: Column | str, mode: str = "code") -> Column:
         return s.map(lambda x: tokenize_code(x) if x is not None else [])
 
     return _tok(F.col(col) if isinstance(col, str) else col)
+
+
+TERM_COUNTS_TYPE = T.ArrayType(
+    T.StructType([T.StructField("term", T.StringType()), T.StructField("tf", T.IntegerType())])
+)
+
+
+def term_counts_col(col: Column | str, mode: str = "code") -> Column:
+    """Per-document (term, tf) pairs, counted INSIDE the tokenizer UDF.
+
+    Term frequency is a within-row computation — counting in the UDF and
+    exploding the result replaces a corpus-sized ``groupBy(term, doc)``
+    shuffle (one row per token occurrence) with no shuffle at all. The
+    pairs come out sorted by term for deterministic downstream order."""
+    from collections import Counter
+
+    def count(x: str | None) -> list[dict]:
+        toks = tokenize(x, mode) if x is not None else []
+        if not toks:
+            # sentinel keeps empty docs visible downstream (dl=0, no terms)
+            return [{"term": "", "tf": 0}]
+        c = Counter(toks)
+        return [{"term": t, "tf": c[t]} for t in sorted(c)]
+
+    @F.pandas_udf(TERM_COUNTS_TYPE)
+    def _cnt(s: pd.Series) -> pd.Series:
+        return s.map(count)
+
+    return _cnt(F.col(col) if isinstance(col, str) else col)

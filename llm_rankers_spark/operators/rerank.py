@@ -99,6 +99,99 @@ class MockComparator:
         return " > ".join(f"[{i + 1}]" for i in order)
 
 
+import re as _re
+
+
+@dataclass
+class VotingComparator:
+    """A2 (setwise.py:102-157): wrap a base comparator with
+    ``num_permutation`` shuffled-prompt votes and a majority decision.
+
+    The reference shuffles with a global seeded RNG and breaks ties with
+    ``random.choice``; we derive a per-call RNG from (seed, call index) so
+    results are partition-order independent, and break ties
+    (count desc, first-seen asc) — documented intentional divergence
+    (SURVEY.md §2.4 A2)."""
+
+    base: object
+    num_permutation: int = 3
+    seed: int = 929
+    calls: int = 0
+
+    @property
+    def trace(self):
+        return self.base.trace
+
+    def best_of(self, query: str, texts: list[str]) -> int:
+        import random as _random
+
+        self.calls += 1
+        votes: list[int] = []
+        for p in range(self.num_permutation):
+            rng = _random.Random((self.seed, self.calls, p).__hash__())
+            order = list(range(len(texts)))
+            rng.shuffle(order)
+            win_shuffled = self.base.best_of(query, [texts[i] for i in order])
+            votes.append(order[win_shuffled])
+        counts: dict[int, int] = {}
+        first_seen: dict[int, int] = {}
+        for i, v in enumerate(votes):
+            counts[v] = counts.get(v, 0) + 1
+            first_seen.setdefault(v, i)
+        return max(counts, key=lambda c: (counts[c], -first_seen[c]))
+
+    def pair(self, query: str, a: str, b: str):
+        return self.base.pair(query, a, b)
+
+    def permutation(self, query: str, texts: list[str]) -> str:
+        return self.base.permutation(query, texts)
+
+
+@dataclass
+class RetryingComparator:
+    """M3 (setwise.py:338-399): retry-on-error wrapper. The reference loops
+    forever with sleep(5); ours is bounded (max_retries) and surfaces the
+    retry count in metrics — an infinite retry inside an executor task would
+    turn one bad record into a hung stage at cluster scale."""
+
+    base: object
+    max_retries: int = 3
+    retries: int = 0
+
+    def _with_retry(self, fn, *args):
+        last = None
+        for _ in range(self.max_retries + 1):
+            try:
+                return fn(*args)
+            except Exception as e:  # noqa: BLE001 — comparator payloads are opaque
+                last = e
+                self.retries += 1
+        raise last
+
+    def best_of(self, query, texts):
+        return self._with_retry(self.base.best_of, query, texts)
+
+    def pair(self, query, a, b):
+        return self._with_retry(self.base.pair, query, a, b)
+
+    def permutation(self, query, texts):
+        return self._with_retry(self.base.permutation, query, texts)
+
+
+_REASONING_ANSWER_RE = _re.compile(r"<answer>.*?\[(\d+)\].*?</answer>", _re.DOTALL)
+
+
+def parse_reasoning_answer(response: str, n_docs: int) -> int | None:
+    """P10 (setwise.py:513-516, Rank-R1): extract the ``<answer>[i]</answer>``
+    label from a reasoning trace; 1-based in the prompt → 0-based index;
+    out-of-range / missing → None (caller treats as no-swap)."""
+    m = _REASONING_ANSWER_RE.search(response or "")
+    if not m:
+        return None
+    v = int(m.group(1)) - 1
+    return v if 0 <= v < n_docs else None
+
+
 # ---------------------------------------------------------------------------
 # Pure loop implementations (run per query inside the grouped UDF).
 # Items are (docid, text) tuples; loops permute a list in place.
