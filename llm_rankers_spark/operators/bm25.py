@@ -292,7 +292,21 @@ def search(
     live_terms = sorted({t for tws in qplan.values() for t, _ in tws})
     terms_df = queries.sparkSession.createDataFrame([(t,) for t in live_terms], "term string")
 
-    cand = index.postings.join(F.broadcast(terms_df), "term", "left_semi")
+    postings = index.postings
+    if getattr(meta, "layout_version", 1) >= 2:
+        # static term-bucket pruning: the postings are hive-partitioned by
+        # bucket = xxhash64(term) % num_buckets, so a selective batch skips
+        # all but its terms' buckets at the file listing (no scan, no IO)
+        buckets = sorted(
+            {
+                r["b"]
+                for r in terms_df.select(
+                    F.pmod(F.xxhash64("term"), F.lit(meta.num_buckets)).alias("b")
+                ).collect()
+            }
+        )
+        postings = postings.filter(F.col("bucket").isin(buckets))
+    cand = postings.join(F.broadcast(terms_df), "term", "left_semi")
 
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("term")

@@ -37,10 +37,13 @@ from llm_rankers_spark.functions import codec
 from llm_rankers_spark.functions.tokenize import term_counts_col
 
 POSTINGS_SCHEMA = (
-    "term string, shard int, n long, docs_blob binary, tfs_blob binary, dls_blob binary, "
+    "term string, shard int, bucket int, n long, docs_blob binary, tfs_blob binary, dls_blob binary, "
     "block_last array<long>, block_max_tfn array<double>, "
     "doc_offs array<long>, tf_offs array<long>, dl_offs array<long>"
 )
+
+NUM_BUCKETS = 64
+LAYOUT_VERSION = 2
 
 
 @dataclass
@@ -53,6 +56,8 @@ class IndexMeta:
     k1: float
     b: float
     input_fingerprint: str
+    num_buckets: int = NUM_BUCKETS
+    layout_version: int = 1
 
 
 class InvertedIndex:
@@ -124,7 +129,11 @@ def build_index(
 
     if resume and os.path.exists(_meta_path(path)) and os.path.exists(_manifest_path(path)):
         meta = load_index(spark, path).meta
-        if meta.input_fingerprint == input_fingerprint(docs) and meta.tokenizer_mode == tokenizer_mode:
+        if (
+            meta.input_fingerprint == input_fingerprint(docs)
+            and meta.tokenizer_mode == tokenizer_mode
+            and meta.layout_version == LAYOUT_VERSION
+        ):
             return InvertedIndex(spark, path, meta)
 
     if "content_sha256" not in docs.columns:
@@ -244,11 +253,13 @@ def build_index(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["term", "ord"])
         out = {c: [] for c in (
-            "term", "shard", "n", "docs_blob", "tfs_blob", "dls_blob",
+            "term", "shard", "bucket", "n", "docs_blob", "tfs_blob", "dls_blob",
             "block_last", "block_max_tfn", "doc_offs", "tf_offs", "dl_offs",
         )}
         shard = int(pdf["shard"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
         for term, g in pdf.groupby("term", sort=False):
+            out["bucket"].append(bucket)
             p = codec.pack_postings(
                 g["ord"].to_numpy(np.int64),
                 g["tf"].to_numpy(np.int64),
@@ -270,16 +281,16 @@ def build_index(
             out["dl_offs"].append(p.dl_offs.tolist())
         return pd.DataFrame(out)
 
-    td_b = td.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(64)))
+    td_b = td.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)))
     postings = td_b.groupBy("shard", "bucket").applyInPandas(
-        lambda key, pdf: pack(pdf.drop(columns=["bucket"])), schema=POSTINGS_SCHEMA
+        lambda key, pdf: pack(pdf), schema=POSTINGS_SCHEMA
     )
-    # plain parquet with `shard` as a column: query-time grouping shuffles on
-    # shard anyway, and hive-partitionBy here would fan each pack task out
-    # into one file per shard (file-commit overhead). A production deployment
-    # would bucketBy(shard).sortBy(term) into a table so the query-time
-    # groupBy(shard) is shuffle-free.
-    postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+    # hive-partitioned by term bucket: a selective query computes its terms'
+    # buckets and statically prunes 63/64 of the files at the scan. Each pack
+    # task holds whole (shard, bucket) groups → bounded file fan-out. shard
+    # stays a plain column (query-time grouping shuffles on it regardless; a
+    # production deployment would ALSO bucketBy(shard) into a table).
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(path, "postings"))
     _phase("pack_write")
 
     # --- lineage manifest (per-shard row/posting counts + checksum) --------
@@ -313,6 +324,8 @@ def build_index(
         k1=k1,
         b=b,
         input_fingerprint=fp,
+        num_buckets=NUM_BUCKETS,
+        layout_version=LAYOUT_VERSION,
     )
     with open(_meta_path(path), "w") as f:
         json.dump(meta.__dict__, f, indent=1)
