@@ -256,7 +256,7 @@ def search(
     # block-max bounds are baked at index (k1, b, segment avgdl); any override
     # invalidates them → fall back to plain WAND term bounds
     use_block_max = (
-        method == "wand" and k1 == meta.k1 and b == meta.b and avgdl_override is None
+        method in ("wand", "auto") and k1 == meta.k1 and b == meta.b and avgdl_override is None
     )
 
     # Query batches are driver-side small data: tokenize them right here with
@@ -322,6 +322,12 @@ def search(
             if not rows:
                 continue
             if method == "exhaustive":
+                outs.append(_score_rows_exhaustive(qid, rows, k, k1, b, avgdl))
+            elif method == "auto" and sum(int(r["n"]) for r, _ in rows) < 65536:
+                # short candidate sets: vectorized numpy scoring beats the
+                # doc-at-a-time python WAND loop; results are identical
+                # (same formula, same sorted-term accumulation, same
+                # tie-break) — tested in test_bm25.
                 outs.append(_score_rows_exhaustive(qid, rows, k, k1, b, avgdl))
             else:
                 outs.append(_score_rows_wand(qid, rows, k, k1, b, avgdl, use_block_max, safe_ub=not use_block_max))
