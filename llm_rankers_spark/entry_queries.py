@@ -412,7 +412,7 @@ ordered AS (
          row_number() OVER (PARTITION BY qid ORDER BY rel DESC, orig_rank ASC) AS rank
   FROM relv
 )
-SELECT qid, docid, rank, -(rank - 1)::DOUBLE AS score FROM ordered
+SELECT qid, docid, rank, (1 - rank)::DOUBLE AS score FROM ordered
 """
 
 
@@ -772,13 +772,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_setwise_bubblesort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5: reference heuristic (non-gold) — rows-only; loop semantics are
-    pytest-verified against an independent simulation."""
+    """T5 (setwise.py:243-273): with a perfect transitive comparator each
+    bubble pass places the next-best doc, so k passes yield the true top-k in
+    relevance order and T8 restores the tail -> SQL_TOPK_ASSEMBLY is exact."""
     return _rerank_entry(spark, sf_dir, "setwise.bubblesort", k=5, num_child=2)
 
 
 def q_pairwise_bubblesort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3: same status as T5."""
+    """T3 (pairwise.py:253-275): same argument as T5 -> SQL_TOPK_ASSEMBLY."""
     return _rerank_entry(spark, sf_dir, "pairwise.bubblesort", k=5)
 
 
@@ -811,9 +812,12 @@ REGISTRY: dict[str, tuple] = {
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE),
     "rel_lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "rel_top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS),
+    # with a perfect transitive comparator, k bubble passes place the true
+    # top-k in order and T8 appends the tail in original order -> the same
+    # oracle as heapsort (verified: engine == oracle at sf0.01 and in pytest)
+    "t5_setwise_bubblesort": (q_setwise_bubblesort, SQL_TOPK_ASSEMBLY),
+    "t3_pairwise_bubblesort": (q_pairwise_bubblesort, SQL_TOPK_ASSEMBLY),
     # rows-only (engine-hash / heuristic paths; semantics pytest-covered)
     "sim_lsh_topk": (q_lsh_topk, None),
     "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
-    "t5_setwise_bubblesort": (q_setwise_bubblesort, None),
-    "t3_pairwise_bubblesort": (q_pairwise_bubblesort, None),
 }

@@ -370,7 +370,14 @@ def bm25_dataframe(
     toks = docs.select("docid", F.explode(tokens_col("content", mode=mode)).alias("term"))
     td = toks.groupBy("docid", "term").agg(F.count("*").alias("tf"))
     dl = td.groupBy("docid").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    # N and avgdl over ALL docs (token-less docs count with dl=0) so this
+    # path agrees with build_index's packed statistics and the DuckDB oracle
+    # on corpora containing empty documents.
+    stats = (
+        docs.agg(F.count("*").alias("n"))
+        .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")))
+        .select("n", (F.col("sum_dl") / F.col("n")).alias("avgdl"))
+    )
     dft = td.groupBy("term").agg(F.count("*").alias("df"))
 
     qt = query_terms(queries, mode)

@@ -28,12 +28,27 @@ from llm_rankers_spark.functions.tokenize import tokens_col
 _MERSENNE = (1 << 31) - 1
 
 
-def dedup_docids(docs: DataFrame, id_col: str = "docid") -> DataFrame:
+def dedup_docids(
+    docs: DataFrame, id_col: str = "docid", position_col: str | None = None
+) -> DataFrame:
     """F6 (write_pyserini_corpus.py:21-24): first-wins duplicate-id drop.
-    'First' in a distributed table = lowest original position; we use the
-    lexicographically-smallest tie-break via row_number for determinism."""
-    w = Window.partitionBy(id_col).orderBy(F.asc(id_col))
-    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    'First' in a distributed table needs an explicit order: pass
+    ``position_col`` (ingest offset / file row number) to reproduce the
+    reference's corpus-file order exactly. Without one, the kept row is
+    chosen by the sha256 of the serialized non-id columns — arbitrary but
+    DETERMINISTIC across partitionings (never partition-order-dependent)."""
+    if position_col is not None:
+        order = [F.asc(position_col)]
+    else:
+        rest = [c for c in docs.columns if c != id_col]
+        docs = docs.withColumn(
+            "_tiebreak", F.sha2(F.to_json(F.struct(*[F.col(c) for c in rest])), 256)
+        )
+        order = [F.asc("_tiebreak")]
+    w = Window.partitionBy(id_col).orderBy(*order)
+    out = docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    return out.drop("_tiebreak") if position_col is None else out
 
 
 def exact_duplicates(docs: DataFrame, content_col: str = "content", id_col: str = "docid") -> DataFrame:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,32 +102,54 @@ def run_pipeline(
     metrics["search_sec"] = time.time() - t0
 
     # 3. exclusion filter (optional)
+    ex_fp = ""
     if excluded is not None:
-        ex_fp = q_fp + ":" + _fingerprint(excluded, ["qid", "docid"])
+        ex_fp = _fingerprint(excluded, ["qid", "docid"])
         st_filt = Stage(work_dir, "filtered")
-        if not (resume and st_filt.is_done(ex_fp)):
+        if not (resume and st_filt.is_done(q_fp + ":" + ex_fp)):
             runs_ops.filter_excluded(first, excluded).write.mode("overwrite").parquet(st_filt.path)
-            st_filt.mark(ex_fp)
+            st_filt.mark(q_fp + ":" + ex_fp)
         first = spark.read.parquet(st_filt.path)
 
     # 4. rerank with per-qid resume
     comparator = comparator or MockComparator()
     st_rr = Stage(work_dir, "reranked")
-    rr_fp = q_fp + f":{rerank_method}:{rerank_k}"
+    rr_fp = q_fp + f":{ex_fp}:{rerank_method}:{rerank_k}"
+    # the partial marker pins everything EXCEPT the query set: per-qid reuse
+    # across a grown query batch is the point of resume (the reference skips
+    # qids already in the run file, Rank-R1/run_setwise.py:284-302), but a
+    # changed method/k/index/exclusion set must invalidate partial output.
+    cfg_fp = f"{idx.meta.input_fingerprint}:{hits}:{ex_fp}:{rerank_method}:{rerank_k}"
     t0 = time.time()
+    partial_path = st_rr.meta_path + ".partial"
     if not (resume and st_rr.is_done(rr_fp)):
         cands = (
             runs_ops.attach_text(first, docs.select("docid", F.col("content")))
             .join(queries, "qid")
             .select("qid", "query", "docid", "rank", "text")
         )
+        # Per-qid reuse is only sound if the existing partial output was
+        # produced under the SAME rerank fingerprint (method/k/query set) —
+        # otherwise a changed config would silently keep stale results.
+        partial_ok = False
+        if resume and os.path.exists(partial_path):
+            try:
+                with open(partial_path) as f:
+                    partial_ok = json.load(f).get("fingerprint") == cfg_fp
+            except Exception:
+                partial_ok = False
         done_qids = None
-        if resume and os.path.exists(st_rr.path):
+        if partial_ok and os.path.exists(st_rr.path):
             try:
                 existing = spark.read.parquet(st_rr.path)
                 done_qids = existing.select("qid").distinct()
             except Exception:
                 existing, done_qids = None, None
+        elif os.path.exists(st_rr.path):
+            # stale partial output from a different config: drop it
+            shutil.rmtree(st_rr.path, ignore_errors=True)
+        with open(partial_path, "w") as f:
+            json.dump({"fingerprint": cfg_fp}, f)
         if done_qids is not None:
             todo = cands.join(done_qids, "qid", "left_anti")
             if todo.limit(1).count() > 0:

@@ -112,6 +112,36 @@ def test_load_index_roundtrip(spark, index):
     assert idx.postings.count() > 0
 
 
+def test_bm25_dataframe_counts_tokenless_docs(spark, tmp_path):
+    # N/avgdl must cover ALL docs (token-less ones with dl=0), matching the
+    # packed-index statistics — the two engine paths must agree on a corpus
+    # containing empty documents (round-1 advice: bm25.py derived stats from
+    # the dl table, silently dropping empty docs).
+    rows = [
+        ("d1", "alpha beta gamma alpha"),
+        ("d2", "alpha delta"),
+        ("d3", ""),  # token-less: counts toward N, dl=0
+        ("d4", "beta beta gamma"),
+    ]
+    docs = spark.createDataFrame(rows, "docid string, content string").withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    qs = spark.createDataFrame([("q1", "alpha beta")], "qid string, query string")
+    idx = build_index(docs, str(tmp_path / "idx_empty"), num_shards=2)
+    assert idx.meta.n_docs == 4
+    a = _collect_runs(search(idx, qs, k=4, method="exhaustive"))
+    b = _collect_runs(
+        bm25_dataframe(docs.select("docid", "content"), qs, k=4, mode="code").withColumn(
+            "tag", F.lit("x")
+        )
+    )
+    assert set(a) == set(b)
+    for qid in a:
+        assert [d for d, _ in a[qid]] == [d for d, _ in b[qid]]
+        for (_, sa), (_, sb) in zip(a[qid], b[qid]):
+            assert sa == pytest.approx(sb, abs=1e-9)
+
+
 def test_bm25_dataframe_matches_index_path(spark, corpus, queries, index):
     # the Catalyst-native plan and the packed-index plan agree
     df_path = bm25_dataframe(

@@ -49,6 +49,8 @@ def _values_equal(a, b) -> bool:
         fa, fb = float(a), float(b)
         if math.isnan(fa) or math.isnan(fb):
             return math.isnan(fa) and math.isnan(fb)
+        if fa == 0.0 and fb == 0.0:  # driver hashes values: -0.0 != 0.0
+            return math.copysign(1.0, fa) == math.copysign(1.0, fb)
         return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
     return str(a) == str(b)
 

@@ -73,6 +73,20 @@ def test_resume_from_partial_equals_single_shot(spark, corpus, queries, tmp_path
     assert _read_trec(out_a["trec_path"]) == _read_trec(out_b["trec_path"])
 
 
+def test_changed_method_invalidates_partial_resume(spark, corpus, queries, tmp_path):
+    # round-1 advice: per-qid resume must NOT trust parquet produced under a
+    # different rerank config — rerunning with a new method in the same
+    # work_dir has to discard the old method's rows, not re-tag them.
+    wd = str(tmp_path / "switch")
+    run_pipeline(spark, corpus, queries, wd, hits=15, rerank_k=5,
+                 rerank_method="setwise.heapsort", comparator=MockComparator())
+    out_b = run_pipeline(spark, corpus, queries, wd, hits=15, rerank_k=5,
+                         rerank_method="pairwise.allpair", comparator=MockComparator())
+    clean = run_pipeline(spark, corpus, queries, str(tmp_path / "clean"), hits=15, rerank_k=5,
+                         rerank_method="pairwise.allpair", comparator=MockComparator())
+    assert _read_trec(out_b["trec_path"]) == _read_trec(clean["trec_path"])
+
+
 def test_excluded_filter_in_pipeline(spark, corpus, queries, tmp_path):
     first = run_pipeline(spark, corpus, queries, str(tmp_path / "c1"), hits=10, rerank_k=3,
                          comparator=MockComparator())

@@ -55,6 +55,29 @@ def test_dedup_docids(spark):
     assert dedup_docids(df).count() == 2
 
 
+def test_dedup_docids_deterministic_across_partitioning(spark):
+    # duplicate ids with DIFFERENT content: the kept row must not depend on
+    # physical partitioning (round-1 verdict: window ordered by its own key
+    # was partition-order-dependent)
+    rows = [("x", f"content-{i}") for i in range(20)] + [("y", "only")]
+    df = spark.createDataFrame(rows, "docid string, content string")
+    picks = set()
+    for nparts in (1, 3, 16):
+        kept = {(r.docid, r.content) for r in dedup_docids(df.repartition(nparts)).collect()}
+        picks.add(frozenset(kept))
+        assert len(kept) == 2
+    assert len(picks) == 1, "kept row varied with partitioning"
+
+
+def test_dedup_docids_position_first_wins(spark):
+    # explicit position column reproduces the reference's corpus-file order
+    # (write_pyserini_corpus.py:21-24 keeps the first occurrence)
+    rows = [("x", "first", 0), ("x", "second", 5), ("x", "third", 9), ("y", "solo", 2)]
+    df = spark.createDataFrame(rows, "docid string, content string, pos long")
+    kept = {(r.docid, r.content) for r in dedup_docids(df.repartition(4), position_col="pos").collect()}
+    assert kept == {("x", "first"), ("y", "solo")}
+
+
 def test_exact_duplicates(docs):
     groups = exact_duplicates(docs).collect()
     assert len(groups) == 1

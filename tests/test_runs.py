@@ -34,6 +34,29 @@ def test_trec_roundtrip(spark, run, tmp_path):
     assert r["docid"] == "d0" and r["q0"] == "Q0" and r["tag"] == "test"
 
 
+def test_trec_single_file_equals_parts(spark, run, tmp_path):
+    # single_file merges the range-partitioned parts driver-side: the line
+    # sequence must equal the multi-part write read in sorted part order,
+    # and there must be exactly one data file.
+    import glob
+    import os
+
+    p_multi, p_one = str(tmp_path / "multi"), str(tmp_path / "one")
+    write_trec_run(run, p_multi, tag="test")
+    write_trec_run(run, p_one, tag="test", single_file=True)
+
+    def lines(path):
+        out = []
+        for p in sorted(glob.glob(os.path.join(path, "part-*"))):
+            with open(p) as f:
+                out.extend(f.readlines())
+        return out
+
+    assert lines(p_multi) == lines(p_one)
+    assert len([p for p in glob.glob(os.path.join(p_one, "part-*"))]) == 1
+    assert read_trec_run(spark, p_one).count() == run.count()
+
+
 def test_cap_hits(run):
     assert cap_hits(run, 3).count() == 9
     assert cap_hits(run, 3).groupBy("qid").count().agg(F.max("count")).collect()[0][0] == 3
