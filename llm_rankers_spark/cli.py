@@ -1,0 +1,164 @@
+"""CLI entry point — the analogue of the reference's ``run.py`` driver
+(run.py:20-38 subcommand parser dispatching ranker configs, :54-133).
+
+Subcommands:
+
+- ``index``  : build the inverted index from a parquet corpus.
+- ``search`` : BM25 top-k over a built index → TREC run.
+- ``run``    : the full pipeline (index → search → rerank → TREC → eval),
+  i.e. the reference's write_pyserini_* → index → search → run_setwise →
+  eval chain as one resumable job (plans/pipeline.py).
+
+Launch locally (``python -m llm_rankers_spark run …``) or on a cluster via
+``spark-submit --py-files llm_rankers_spark.zip -m …`` — get_spark also
+ships the package itself (session.py).
+
+Input tables are parquet. The corpus needs (docid, content); the driver
+testdata shape (doc_id, text, …) is adapted automatically. Queries need
+(qid, query); qrels (qid, docid, rel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RERANK_METHODS = (
+    "setwise.heapsort", "setwise.bubblesort",
+    "pairwise.allpair", "pairwise.heapsort", "pairwise.bubblesort",
+    "listwise.sliding",
+)
+
+
+def _load_corpus(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    if "docid" not in df.columns and "doc_id" in df.columns:
+        # driver testdata shape: zero-padded docid keeps lexicographic order
+        # == numeric order (corpus.py contract)
+        df = df.withColumn("docid", F.lpad(F.col("doc_id").cast("string"), 10, "0"))
+    if "content" not in df.columns and "text" in df.columns:
+        df = df.withColumn("content", F.col("text"))
+    missing = {"docid", "content"} - set(df.columns)
+    if missing:
+        raise SystemExit(f"corpus parquet lacks columns {sorted(missing)} (have {df.columns})")
+    if "content_sha256" not in df.columns:
+        df = df.withColumn("content_sha256", F.sha2("content", 256))
+    return df.select("docid", "content", "content_sha256")
+
+
+def _load_queries(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    missing = {"qid", "query"} - set(df.columns)
+    if missing:
+        raise SystemExit(f"queries parquet lacks columns {sorted(missing)} (have {df.columns})")
+    return df.select("qid", "query")
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--tokenizer-mode", default="code", choices=["code", "simple"])
+    p.add_argument("--num-shards", type=int, default=8)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="llm_rankers_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_idx = sub.add_parser("index", help="build the inverted index")
+    p_idx.add_argument("--docs", required=True)
+    p_idx.add_argument("--out", required=True)
+    p_idx.add_argument("--resume", action="store_true")
+    _add_common(p_idx)
+
+    p_s = sub.add_parser("search", help="BM25 top-k over a built index")
+    p_s.add_argument("--index", required=True)
+    p_s.add_argument("--queries", required=True)
+    p_s.add_argument("--out", required=True, help="TREC run output dir")
+    p_s.add_argument("--hits", type=int, default=100)
+    p_s.add_argument("--method", default="auto", choices=["auto", "wand", "exhaustive"])
+    p_s.add_argument("--distributed", action="store_true",
+                     help="fully-distributed query plan (10^5+ query batches)")
+    p_s.add_argument("--single-file", action="store_true")
+    _add_common(p_s)
+
+    p_r = sub.add_parser("run", help="full pipeline: index, search, rerank, eval")
+    p_r.add_argument("--docs", required=True)
+    p_r.add_argument("--queries", required=True)
+    p_r.add_argument("--qrels", default=None)
+    p_r.add_argument("--excluded", default=None, help="parquet of (qid, docid) to drop (F4)")
+    p_r.add_argument("--work-dir", required=True)
+    p_r.add_argument("--method", default="setwise.heapsort", choices=RERANK_METHODS,
+                     help="rerank method (reference run.py:54-133 configs)")
+    p_r.add_argument("--hits", type=int, default=100)
+    p_r.add_argument("--k", type=int, default=10)
+    p_r.add_argument("--query-length", type=int, default=128,
+                     help="query token clamp (run.py:220, default 128)")
+    p_r.add_argument("--passage-length", type=int, default=128,
+                     help="passage token clamp (run.py:221, default 128)")
+    p_r.add_argument("--no-resume", action="store_true")
+    _add_common(p_r)
+
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from llm_rankers_spark import get_spark
+
+    spark = get_spark(master=args.master)
+
+    if args.cmd == "index":
+        from llm_rankers_spark.operators.index_build import build_index
+
+        idx = build_index(
+            _load_corpus(spark, args.docs), args.out,
+            tokenizer_mode=args.tokenizer_mode, num_shards=args.num_shards, resume=args.resume,
+        )
+        print(json.dumps({"n_docs": idx.meta.n_docs, "avgdl": idx.meta.avgdl, "path": args.out}))
+        return 0
+
+    if args.cmd == "search":
+        from llm_rankers_spark.operators.bm25 import search, search_distributed
+        from llm_rankers_spark.operators.index_build import load_index
+        from llm_rankers_spark.operators.runs import write_trec_run
+
+        idx = load_index(spark, args.index)
+        fn = search_distributed if args.distributed else search
+        run = fn(idx, _load_queries(spark, args.queries), k=args.hits, method=args.method)
+        write_trec_run(run, args.out, single_file=args.single_file)
+        print(json.dumps({"trec_path": args.out}))
+        return 0
+
+    if args.cmd == "run":
+        from llm_rankers_spark.plans.pipeline import run_pipeline
+
+        qrels = spark.read.parquet(args.qrels) if args.qrels else None
+        excluded = spark.read.parquet(args.excluded) if args.excluded else None
+        out = run_pipeline(
+            spark,
+            _load_corpus(spark, args.docs),
+            _load_queries(spark, args.queries),
+            args.work_dir,
+            qrels=qrels,
+            excluded=excluded,
+            hits=args.hits,
+            rerank_k=args.k,
+            rerank_method=args.method,
+            tokenizer_mode=args.tokenizer_mode,
+            num_shards=args.num_shards,
+            resume=not args.no_resume,
+            query_length=args.query_length,
+            passage_length=args.passage_length,
+        )
+        print(json.dumps({"trec_path": out["trec_path"], "metrics": out["metrics"]}))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

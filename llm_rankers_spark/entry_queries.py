@@ -140,6 +140,17 @@ def q_bm25_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 large-batch twin: the fully-distributed query plan (cogrouped
+    (qid, term, w) DataFrame, no queries.collect — bm25.search_distributed);
+    must match the same oracle as the driver-planned paths."""
+    idx = _entry_index(spark, sf_dir)
+    res = bm25_ops.search_distributed(idx, _queries_df(spark), k=10, method="wand")
+    return res.select(
+        "qid", "docid", F.col("rank").cast("long").alias("rank"), F.round("score", 4).alias("score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # synthetic runs over documents (deterministic, SQL-twinned)
 # ---------------------------------------------------------------------------
@@ -783,6 +794,36 @@ def q_pairwise_bubblesort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rerank_entry(spark, sf_dir, "pairwise.bubblesort", k=5)
 
 
+class _Md5TextModel:
+    """Batch-scoring 'model' whose relevance is the md5 of the text alone —
+    the SQL_REL oracle expression — so the REAL-model rerank path
+    (lazy per-worker load + cross-query pooled batches) is oracle-checkable."""
+
+    def score_batch(self, pairs):
+        import hashlib
+
+        return [float(int(hashlib.md5(t.encode()).hexdigest()[:7], 16)) for _q, t in pairs]
+
+
+def _md5_text_model_factory():
+    return _Md5TextModel()
+
+
+def q_setwise_heapsort_batched_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 via the model-comparator path (model_comparator.rerank_batched):
+    many qids per task, compare requests pooled into model batches. Results
+    must equal the per-qid MockComparator path -> same oracle."""
+    from llm_rankers_spark.operators.model_comparator import rerank_batched
+
+    cands = _runs_df(spark, sf_dir).withColumn("query", F.lit("const"))
+    out = rerank_batched(
+        cands, method="setwise.heapsort", model_name="entry_md5text",
+        model_factory=_md5_text_model_factory, k=5, num_child=2,
+        batch_size=16, queries_per_task=2,
+    )
+    return out.select("qid", "docid", F.col("rank").cast("long").alias("rank"), "score")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -791,6 +832,8 @@ REGISTRY: dict[str, tuple] = {
     # (spark_fn, oracle_sql or None)
     "s5_s6_bm25_wand_topk": (q_bm25_wand, BM25_ORACLE_SQL),
     "s6_bm25_dataframe_topk": (q_bm25_dataframe, BM25_ORACLE_SQL),
+    "s6_bm25_distributed_topk": (q_bm25_distributed, BM25_ORACLE_SQL),
+    "t4_rerank_batched_model": (q_setwise_heapsort_batched_model, SQL_TOPK_ASSEMBLY),
     "f3_hits_cap": (q_hits_cap, SQL_HITS_CAP),
     "f4_excluded_filter": (q_excluded_filter, SQL_EXCLUDED),
     "f5_qid_filter": (q_qid_filter, SQL_QID_FILTER),

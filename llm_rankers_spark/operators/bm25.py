@@ -224,6 +224,64 @@ def _score_rows_wand(
     )
 
 
+def _score_shard(
+    pdf: pd.DataFrame,
+    qplan: dict,
+    k: int,
+    method: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+    use_block_max: bool,
+) -> pd.DataFrame:
+    """Run every query's traversal over one shard's posting rows.
+    ``qplan``: {qid: [(term, weight)]} — shared by the driver-planned and
+    the distributed (cogrouped) batch paths."""
+    pdf = pdf.sort_values("term")
+    by_term = {t: g for t, g in pdf.groupby("term", sort=True)}
+    outs = []
+    for qid, tws in qplan.items():
+        rows = []
+        for term, w in sorted(tws):
+            g = by_term.get(term)
+            if g is not None:
+                for _, row in g.iterrows():
+                    rows.append((row, w))
+        if not rows:
+            continue
+        if method == "exhaustive":
+            outs.append(_score_rows_exhaustive(qid, rows, k, k1, b, avgdl))
+        elif method == "auto" and sum(int(r["n"]) for r, _ in rows) < 65536:
+            # short candidate sets: vectorized numpy scoring beats the
+            # doc-at-a-time python WAND loop; results are identical
+            # (same formula, same sorted-term accumulation, same
+            # tie-break) — tested in test_bm25.
+            outs.append(_score_rows_exhaustive(qid, rows, k, k1, b, avgdl))
+        else:
+            outs.append(_score_rows_wand(qid, rows, k, k1, b, avgdl, use_block_max, safe_ub=not use_block_max))
+    if not outs:
+        return pd.DataFrame({"qid": pd.Series(dtype="object"), "ord": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+    return pd.concat(outs, ignore_index=True)
+
+
+def _prune_buckets(postings: DataFrame, meta, terms_df: DataFrame) -> DataFrame:
+    """Static term-bucket pruning: postings are hive-partitioned by
+    bucket = xxhash64(term) % num_buckets, so a selective batch skips all
+    but its terms' buckets at the file listing (no scan, no IO). The
+    collected bucket list is metadata-sized (≤ num_buckets values)."""
+    if getattr(meta, "layout_version", 1) < 2:
+        return postings
+    buckets = sorted(
+        {
+            r["b"]
+            for r in terms_df.select(
+                F.pmod(F.xxhash64("term"), F.lit(meta.num_buckets)).alias("b")
+            ).distinct().collect()
+        }
+    )
+    return postings.filter(F.col("bucket").isin(buckets))
+
+
 def search(
     index: InvertedIndex,
     queries: DataFrame,
@@ -292,50 +350,13 @@ def search(
     live_terms = sorted({t for tws in qplan.values() for t, _ in tws})
     terms_df = queries.sparkSession.createDataFrame([(t,) for t in live_terms], "term string")
 
-    postings = index.postings
-    if getattr(meta, "layout_version", 1) >= 2:
-        # static term-bucket pruning: the postings are hive-partitioned by
-        # bucket = xxhash64(term) % num_buckets, so a selective batch skips
-        # all but its terms' buckets at the file listing (no scan, no IO)
-        buckets = sorted(
-            {
-                r["b"]
-                for r in terms_df.select(
-                    F.pmod(F.xxhash64("term"), F.lit(meta.num_buckets)).alias("b")
-                ).collect()
-            }
-        )
-        postings = postings.filter(F.col("bucket").isin(buckets))
+    postings = _prune_buckets(index.postings, meta, terms_df)
     cand = postings.join(F.broadcast(terms_df), "term", "left_semi")
 
-    def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("term")
-        by_term = {t: g for t, g in pdf.groupby("term", sort=True)}
-        outs = []
-        for qid, tws in qplan.items():
-            rows = []
-            for term, w in sorted(tws):
-                g = by_term.get(term)
-                if g is not None:
-                    for _, row in g.iterrows():
-                        rows.append((row, w))
-            if not rows:
-                continue
-            if method == "exhaustive":
-                outs.append(_score_rows_exhaustive(qid, rows, k, k1, b, avgdl))
-            elif method == "auto" and sum(int(r["n"]) for r, _ in rows) < 65536:
-                # short candidate sets: vectorized numpy scoring beats the
-                # doc-at-a-time python WAND loop; results are identical
-                # (same formula, same sorted-term accumulation, same
-                # tie-break) — tested in test_bm25.
-                outs.append(_score_rows_exhaustive(qid, rows, k, k1, b, avgdl))
-            else:
-                outs.append(_score_rows_wand(qid, rows, k, k1, b, avgdl, use_block_max, safe_ub=not use_block_max))
-        if not outs:
-            return pd.DataFrame({"qid": pd.Series(dtype="object"), "ord": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
-        return pd.concat(outs, ignore_index=True)
-
-    partial = cand.groupBy("shard").applyInPandas(lambda key, pdf: scorer(pdf), schema=RESULT_SCHEMA)
+    partial = cand.groupBy("shard").applyInPandas(
+        lambda key, pdf: _score_shard(pdf, qplan, k, method, k1, b, avgdl, use_block_max),
+        schema=RESULT_SCHEMA,
+    )
 
     # exact global top-k: shards are disjoint doc ranges, so the union of
     # per-shard top-k contains the global top-k.
@@ -344,6 +365,80 @@ def search(
 
     # attach docids: topk is tiny (n_queries × k) → broadcast it against the
     # big doc_map instead of shuffling doc_map.
+    return (
+        index.doc_map.select("ord", "docid")
+        .join(F.broadcast(topk), "ord", "inner")
+        .select("qid", "docid", "rank", "score", F.lit(tag).alias("tag"))
+    )
+
+
+def search_distributed(
+    index: InvertedIndex,
+    queries: DataFrame,
+    k: int = 10,
+    method: str = "auto",
+    k1: float | None = None,
+    b: float | None = None,
+    tag: str = "llm_rankers_spark",
+    stats_override: tuple | None = None,
+) -> DataFrame:
+    """BM25 top-k with the query plan kept distributed end to end — the
+    10^5–10^6-query batch path.
+
+    :func:`search` tokenizes + weights the batch driver-side and ships a
+    dict in every task closure: right for reranking-sized batches, wrong at
+    100× (driver serialization + closure bloat — round-1 verdict). Here the
+    (qid, term, w=qw·idf) plan is a DataFrame: tokenized by the vectorized
+    UDF, joined with term_stats for df, replicated once per shard (a join
+    with the shard-id list, ≲ num_shards × Σ|q| rows — the same volume a
+    broadcast would ship per executor), and cogrouped with the shard's
+    posting rows. ``queries`` is never collected; chunk a 10^6-query batch
+    by qid range upstream if the replicated plan outgrows executor memory.
+    """
+    meta = index.meta
+    k1 = meta.k1 if k1 is None else k1
+    b = meta.b if b is None else b
+    n_override, avgdl_override, ts_override = stats_override if stats_override else (None, None, None)
+    avgdl = avgdl_override if avgdl_override is not None else meta.avgdl
+    use_block_max = (
+        method in ("wand", "auto") and k1 == meta.k1 and b == meta.b and avgdl_override is None
+    )
+    n_docs = float(n_override if n_override is not None else meta.n_docs)
+    ts = ts_override if ts_override is not None else index.term_stats
+
+    qt = query_terms(queries, meta.tokenizer_mode)  # (qid, term, qw) — UDF, no collect
+    qw = qt.join(ts.select("term", "df"), "term").select(
+        "qid",
+        "term",
+        (F.col("qw") * _idf(int(n_docs))(F.col("df").cast("double"))).alias("w"),
+    )
+    terms_df = qw.select("term").distinct()
+
+    postings = _prune_buckets(index.postings, meta, terms_df)
+    cand = postings.join(terms_df, "term", "left_semi")
+
+    # replicate the (small) per-query weights to every shard and cogroup:
+    # each task sees (shard's postings, full query plan) — no closures.
+    # num_shards is metadata, so the shard-id list never touches the data.
+    shard_ids = queries.sparkSession.createDataFrame(
+        [(s,) for s in range(meta.num_shards)], "shard int"
+    )
+    qw_rep = qw.crossJoin(F.broadcast(shard_ids))
+
+    def scorer(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        qplan: dict[str, list[tuple[str, float]]] = {}
+        for qid, term, w in zip(rpdf["qid"], rpdf["term"], rpdf["w"]):
+            qplan.setdefault(qid, []).append((term, float(w)))
+        return _score_shard(lpdf, qplan, k, method, k1, b, avgdl, use_block_max)
+
+    partial = (
+        cand.groupBy("shard")
+        .cogroup(qw_rep.groupBy("shard"))
+        .applyInPandas(lambda key, lp, rp: scorer(lp, rp), schema=RESULT_SCHEMA)
+    )
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ord"))
+    topk = partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     return (
         index.doc_map.select("ord", "docid")
         .join(F.broadcast(topk), "ord", "inner")

@@ -108,6 +108,197 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     return InvertedIndex(spark, path, meta)
 
 
+def _slim_ordinals(
+    docs_slim: DataFrame, extra_cols: tuple[tuple[str, str], ...] = ()
+) -> tuple[DataFrame, int]:
+    """Dense docid-ordered ordinal assignment over a SLIM projection (docid
+    [+ extra_cols]): range partition + local sort + partition-offset pass.
+    Returns (ords_df, n_docs). The pid-count collect is metadata-sized
+    (one row per partition)."""
+    n_part = max(docs_slim.sparkSession.sparkContext.defaultParallelism, 4)
+    slim = (
+        docs_slim.repartitionByRange(n_part, "docid")
+        .sortWithinPartitions("docid")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    pid_counts = {r["pid"]: r["cnt"] for r in slim.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(pid_counts):
+        offsets[pid] = acc
+        acc += pid_counts[pid]
+
+    def assign_ord(batches):
+        local = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if local is None:
+                local = offsets[int(pdf["pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf["ord"] = range(local, local + len(pdf))
+            local += len(pdf)
+            yield pdf.drop(columns=["pid"])
+
+    extra = "".join(f", {c} {t}" for c, t in extra_cols)
+    ords = slim.mapInPandas(assign_ord, schema=f"docid string{extra}, ord long")
+    return ords, sum(pid_counts.values())
+
+
+def _pack_and_write(
+    spark: SparkSession, td: DataFrame, path: str, avgdl: float, k1: float, b: float
+) -> None:
+    """Pack posting lists per (term, shard) and write hive-partitioned by
+    term bucket. ``td``: (ord, dl, term, tf, shard) real postings only."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term", "ord"])
+        out = {c: [] for c in (
+            "term", "shard", "bucket", "n", "docs_blob", "tfs_blob", "dls_blob",
+            "block_last", "block_max_tfn", "doc_offs", "tf_offs", "dl_offs",
+        )}
+        shard = int(pdf["shard"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        for term, g in pdf.groupby("term", sort=False):
+            out["bucket"].append(bucket)
+            p = codec.pack_postings(
+                g["ord"].to_numpy(np.int64),
+                g["tf"].to_numpy(np.int64),
+                g["dl"].to_numpy(np.int64),
+                avgdl=avgdl,
+                k1=k1,
+                b=b,
+            )
+            out["term"].append(term)
+            out["shard"].append(shard)
+            out["n"].append(p.n)
+            out["docs_blob"].append(p.docs_blob)
+            out["tfs_blob"].append(p.tfs_blob)
+            out["dls_blob"].append(p.dls_blob)
+            out["block_last"].append(p.block_last.tolist())
+            out["block_max_tfn"].append(p.block_max_tfn.tolist())
+            out["doc_offs"].append(p.doc_offs.tolist())
+            out["tf_offs"].append(p.tf_offs.tolist())
+            out["dl_offs"].append(p.dl_offs.tolist())
+        return pd.DataFrame(out)
+
+    td_b = td.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)))
+    postings = td_b.groupBy("shard", "bucket").applyInPandas(
+        lambda key, pdf: pack(pdf), schema=POSTINGS_SCHEMA
+    )
+    # hive-partitioned by term bucket: a selective query computes its terms'
+    # buckets and statically prunes 63/64 of the files at the scan. Each pack
+    # task holds whole (shard, bucket) groups → bounded file fan-out. shard
+    # stays a plain column (query-time grouping shuffles on it regardless; a
+    # production deployment would ALSO bucketBy(shard) into a table).
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(path, "postings"))
+
+
+def _manifest_and_meta(
+    spark: SparkSession,
+    path: str,
+    n_docs: int,
+    avgdl: float,
+    fp: str,
+    num_shards: int,
+    shard_size: int,
+    tokenizer_mode: str,
+    k1: float,
+    b: float,
+) -> InvertedIndex:
+    shard_stats = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("lists"),
+            F.sum("n").alias("postings"),
+            F.sum(F.crc32(F.col("term"))).alias("term_crc"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    manifest = {
+        "shards": [
+            {"shard": r["shard"], "lists": r["lists"], "postings": r["postings"], "term_crc": r["term_crc"]}
+            for r in shard_stats
+        ],
+        "input_fingerprint": fp,
+    }
+    with open(_manifest_path(path), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+    meta = IndexMeta(
+        n_docs=n_docs,
+        avgdl=float(avgdl),
+        num_shards=num_shards,
+        shard_size=shard_size,
+        tokenizer_mode=tokenizer_mode,
+        k1=k1,
+        b=b,
+        input_fingerprint=fp,
+        num_buckets=NUM_BUCKETS,
+        layout_version=LAYOUT_VERSION,
+    )
+    with open(_meta_path(path), "w") as f:
+        json.dump(meta.__dict__, f, indent=1)
+    return InvertedIndex(spark, path, meta)
+
+
+def build_index_from_forward(
+    fwd: DataFrame,
+    docs_meta: DataFrame,
+    path: str,
+    tokenizer_mode: str = "code",
+    num_shards: int = 8,
+    k1: float = codec.DEFAULT_K1,
+    b: float = codec.DEFAULT_B,
+) -> InvertedIndex:
+    """Build an index from an already-tokenized forward table — the entry
+    point for segment COMPACTION (streaming/index_stream.py): merging
+    segments re-enters the build after tokenization, so content is never
+    re-tokenized (and need not be retained at all).
+
+    ``fwd``: (docid, term, tf) — real postings only, no sentinels.
+    ``docs_meta``: (docid, dl, content_sha256) — exactly one row per doc,
+    INCLUDING token-less docs (they carry dl=0 and appear only in doc_map).
+    Docids must be unique across the input (streaming segments are
+    append-only, so cross-segment duplicates indicate an upstream bug)."""
+    spark = fwd.sparkSession
+    ords, n_docs = _slim_ordinals(
+        docs_meta.select("docid", "dl", "content_sha256"),
+        extra_cols=(("dl", "long"), ("content_sha256", "string")),
+    )
+    shard_size = max(1, -(-n_docs // num_shards))
+
+    from pyspark.sql import Observation
+
+    obs = Observation("compact_stats")
+    doc_map_out = ords.select("ord", "docid", "dl", "content_sha256").observe(
+        obs,
+        F.sum("dl").alias("sum_dl"),
+        F.sum(F.crc32(F.col("docid"))).alias("crc"),
+    )
+    doc_map_out.write.mode("overwrite").parquet(os.path.join(path, "doc_map"))
+    doc_map_df = spark.read.parquet(os.path.join(path, "doc_map"))
+    stats = obs.get
+    avgdl = float(stats["sum_dl"] or 0) / n_docs if n_docs else 0.0
+    fp = f"{n_docs}:{stats['crc']}"
+
+    ord_join = doc_map_df.select("docid", "ord", "dl")
+    if n_docs <= 5_000_000:
+        ord_join = F.broadcast(ord_join)
+    td = (
+        fwd.join(ord_join, "docid")
+        .withColumn("shard", (F.col("ord") / F.lit(shard_size)).cast("int"))
+        .select("ord", "dl", "term", "tf", "shard")
+    )
+    _pack_and_write(spark, td, path, avgdl, k1, b)
+    return _manifest_and_meta(
+        spark, path, n_docs, avgdl, fp, num_shards, shard_size, tokenizer_mode, k1, b
+    )
+
+
 def build_index(
     docs: DataFrame,
     path: str,
@@ -169,37 +360,9 @@ def build_index(
     # ordinal table joins back (broadcast when it fits, hash join beyond);
     # measured: shuffling+persisting the token arrays cost a core-count-
     # independent ~15s per 100k docs, the slim pass is milliseconds.
-    n_part = max(docs.sparkSession.sparkContext.defaultParallelism, 4)
-    slim = (
-        docs.select("docid")
-        .repartitionByRange(n_part, "docid")
-        .sortWithinPartitions("docid")
-        .withColumn("pid", F.spark_partition_id())
-        .persist()
-    )
-    pid_counts = {r["pid"]: r["cnt"] for r in slim.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(pid_counts):
-        offsets[pid] = acc
-        acc += pid_counts[pid]
-
-    def assign_ord(batches):
-        local = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if local is None:
-                local = offsets[int(pdf["pid"].iloc[0])]
-            pdf = pdf.copy()
-            pdf["ord"] = range(local, local + len(pdf))
-            local += len(pdf)
-            yield pdf.drop(columns=["pid"])
-
-    ords = slim.mapInPandas(assign_ord, schema="docid string, ord long")
+    ords, n_docs = _slim_ordinals(docs.select("docid"))
     _phase("slim_ordinals")
 
-    n_docs = sum(pid_counts.values())
     shard_size = max(1, -(-n_docs // num_shards))
 
     # broadcast the ordinal map when it plausibly fits (rule of thumb ~60B a
@@ -210,127 +373,65 @@ def build_index(
 
     # --- single tokenizer pass → forward-index checkpoint ------------------
     # ONE pass runs the counting UDF and writes the exploded forward index
-    # (ord, docid, sha, dl, term, tf, shard) to parquet. Checkpointing to
-    # parquet, NOT .persist(): three consumers (doc_map, term_stats, pack)
-    # read it back columnar-pruned, and Spark's in-memory columnar cache
-    # build costs ~8× the compute itself on this shape (measured 64s vs 8s
-    # for 22M rows). The file doubles as on-disk lineage for the build.
+    # (ord, docid, sha, dl, term, tf, pos, shard) to parquet. Checkpointing
+    # to parquet, NOT .persist(): the consumers (doc_map, pack) read it back
+    # columnar-pruned, and Spark's in-memory columnar cache build costs ~8×
+    # the compute itself on this shape (measured 64s vs 8s for 22M rows).
+    # The file doubles as on-disk lineage for the build.
+    #
+    # Fused actions (round-1 verdict asked for fewer per-build jobs):
+    # - corpus stats (avgdl, docid crc) ride the SAME write job via
+    #   ``observe`` on the pos==0 rows — no separate stats action;
+    # - doc_map is the pos==0 FILTER of the checkpoint (posexplode marks the
+    #   first term row of each doc) — the old groupBy(ord) shuffle is gone.
+    from pyspark.sql import Observation
+
+    obs = Observation("build_stats")
+    is_first = F.col("pos") == 0
     td_path = os.path.join(path, "_td_checkpoint")
     (
-        with_ord.select("ord", "docid", "content_sha256", "dl", F.explode("counts").alias("tc"))
+        with_ord.select(
+            "ord", "docid", "content_sha256", "dl", F.posexplode("counts").alias("pos", "tc")
+        )
         .select(
-            "ord", "docid", "content_sha256", "dl",
+            "ord", "docid", "content_sha256", "dl", "pos",
             F.col("tc.term").alias("term"), F.col("tc.tf").cast("long").alias("tf"),
         )
         .withColumn("shard", (F.col("ord") / F.lit(shard_size)).cast("int"))
+        .observe(
+            obs,
+            F.sum(F.when(is_first, F.col("dl"))).alias("sum_dl"),
+            F.sum(F.when(is_first, F.crc32(F.col("docid")))).alias("crc"),
+        )
         .write.mode("overwrite")
         .parquet(td_path)
     )
+    stats = obs.get
+    avgdl = float(stats["sum_dl"] or 0) / n_docs if n_docs else 0.0
+    fp = f"{n_docs}:{stats['crc']}"
     td_full = spark.read.parquet(td_path)
     # tf=0 sentinel rows exist only to carry empty docs into doc_map
     td = td_full.filter(F.col("tf") > 0).select("ord", "dl", "term", "tf", "shard")
 
-    doc_map_out = td_full.groupBy("ord").agg(
-        F.first("docid").alias("docid"),
-        F.first("dl").alias("dl"),
-        F.first("content_sha256").alias("content_sha256"),
-    )
-    doc_map_out.write.mode("overwrite").parquet(os.path.join(path, "doc_map"))
-    doc_map_df = spark.read.parquet(os.path.join(path, "doc_map"))
-    stats_row = doc_map_df.agg(
-        F.avg("dl").alias("avgdl"), F.sum(F.crc32(F.col("docid"))).alias("crc")
-    ).collect()[0]
-    avgdl = float(stats_row["avgdl"] or 0.0)
-    fp = f"{n_docs}:{stats_row['crc']}"
+    # one row per doc, no shuffle: scan the checkpoint pruned to pos==0
+    td_full.filter(F.col("pos") == 0).select("ord", "docid", "dl", "content_sha256").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "doc_map"))
     _phase("doc_map_write_stats")
-    slim.unpersist()
 
     # --- pack posting lists per (term, shard) ------------------------------
     # grouped by (shard, term_bucket) rather than (shard, term): a code
     # corpus has millions of rare identifier terms, and per-group Arrow
     # overhead on millions of tiny groups dominates; bucketing amortizes it
     # while each term still packs independently inside the group.
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["term", "ord"])
-        out = {c: [] for c in (
-            "term", "shard", "bucket", "n", "docs_blob", "tfs_blob", "dls_blob",
-            "block_last", "block_max_tfn", "doc_offs", "tf_offs", "dl_offs",
-        )}
-        shard = int(pdf["shard"].iloc[0])
-        bucket = int(pdf["bucket"].iloc[0])
-        for term, g in pdf.groupby("term", sort=False):
-            out["bucket"].append(bucket)
-            p = codec.pack_postings(
-                g["ord"].to_numpy(np.int64),
-                g["tf"].to_numpy(np.int64),
-                g["dl"].to_numpy(np.int64),
-                avgdl=avgdl,
-                k1=k1,
-                b=b,
-            )
-            out["term"].append(term)
-            out["shard"].append(shard)
-            out["n"].append(p.n)
-            out["docs_blob"].append(p.docs_blob)
-            out["tfs_blob"].append(p.tfs_blob)
-            out["dls_blob"].append(p.dls_blob)
-            out["block_last"].append(p.block_last.tolist())
-            out["block_max_tfn"].append(p.block_max_tfn.tolist())
-            out["doc_offs"].append(p.doc_offs.tolist())
-            out["tf_offs"].append(p.tf_offs.tolist())
-            out["dl_offs"].append(p.dl_offs.tolist())
-        return pd.DataFrame(out)
-
-    td_b = td.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)))
-    postings = td_b.groupBy("shard", "bucket").applyInPandas(
-        lambda key, pdf: pack(pdf), schema=POSTINGS_SCHEMA
-    )
-    # hive-partitioned by term bucket: a selective query computes its terms'
-    # buckets and statically prunes 63/64 of the files at the scan. Each pack
-    # task holds whole (shard, bucket) groups → bounded file fan-out. shard
-    # stays a plain column (query-time grouping shuffles on it regardless; a
-    # production deployment would ALSO bucketBy(shard) into a table).
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(path, "postings"))
+    _pack_and_write(spark, td, path, avgdl, k1, b)
     _phase("pack_write")
 
-    # --- lineage manifest (per-shard row/posting counts + checksum) --------
-    shard_stats = (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("lists"),
-            F.sum("n").alias("postings"),
-            F.sum(F.crc32(F.col("term"))).alias("term_crc"),
-        )
-        .orderBy("shard")
-        .collect()
+    idx = _manifest_and_meta(
+        spark, path, n_docs, avgdl, fp, num_shards, shard_size, tokenizer_mode, k1, b
     )
-    manifest = {
-        "shards": [
-            {"shard": r["shard"], "lists": r["lists"], "postings": r["postings"], "term_crc": r["term_crc"]}
-            for r in shard_stats
-        ],
-        "input_fingerprint": fp,
-    }
-    with open(_manifest_path(path), "w") as f:
-        json.dump(manifest, f, indent=1)
-
-    meta = IndexMeta(
-        n_docs=n_docs,
-        avgdl=float(avgdl),
-        num_shards=num_shards,
-        shard_size=shard_size,
-        tokenizer_mode=tokenizer_mode,
-        k1=k1,
-        b=b,
-        input_fingerprint=fp,
-        num_buckets=NUM_BUCKETS,
-        layout_version=LAYOUT_VERSION,
-    )
-    with open(_meta_path(path), "w") as f:
-        json.dump(meta.__dict__, f, indent=1)
 
     import shutil
 
     shutil.rmtree(td_path, ignore_errors=True)
-    return InvertedIndex(spark, path, meta)
+    return idx

@@ -1,0 +1,323 @@
+"""Real-model comparator integration: lazy per-worker model state +
+cross-query batched inference.
+
+The reference's whole point is batched LLM inference: DataLoader batching
+in pairwise.py:176-204, HF ``generate`` in setwise.py:93-95, vLLM in
+Rank-R1/run_setwise.py:121-126. This module is the worked example of
+plugging such a model into the engine's rerank loops:
+
+- :func:`get_model` — per-worker-process model cache. Spark reuses Python
+  workers across tasks; the factory runs ONCE per worker, not once per
+  task or per compare (the analogue of loading the HF checkpoint once in
+  the reference's ``__init__``, setwise.py:83-101).
+- :class:`ModelComparator` — the comparator protocol (best_of / pair /
+  permutation) driven by relevance scores from a batch-scoring model. One
+  comparator call = ONE model batch (all texts of a setwise window, both
+  passages of a pair, the whole listwise window).
+- :class:`_BatchEngine` + :func:`rerank_batched` — the cross-QUERY batch
+  aggregator: each Spark task owns a shard of queries, runs every query's
+  sequential sort loop in a lockstep thread, and pools their concurrent
+  compare requests into large model batches. A single query's heapsort
+  can only expose ~1 compare at a time (data dependency); pooling across
+  the queries in a task is what keeps a GPU saturated — the same reason
+  the reference shards queries across jobs (Rank-R1/run_setwise.py:90-92)
+  and batches within allpair (pairwise.py:176-204).
+
+The model contract is one method::
+
+    score_batch(pairs: list[tuple[str, str]]) -> list[float]
+    # pairs are (query, passage); scores are independent per pair
+
+Independence per pair is what makes batch composition irrelevant to the
+results: batched ≡ sequential, asserted in tests/test_model_comparator.py.
+A real cross-encoder / LLM-likelihood scorer satisfies this; a prompt that
+scores passages *jointly* (generative listwise) must go through the
+single-call ``permutation`` path instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from llm_rankers_spark.operators.rerank import RERANK_SCHEMA, rerank_local
+
+# ---------------------------------------------------------------------------
+# per-worker model cache
+# ---------------------------------------------------------------------------
+
+_MODEL_REGISTRY: dict[str, object] = {}
+_REGISTRY_LOCK = threading.Lock()
+
+
+def get_model(name: str, factory):
+    """Load-once-per-worker model cache. ``factory`` must be picklable
+    (top-level callable); it runs only when this worker process has not
+    seen ``name`` before."""
+    with _REGISTRY_LOCK:
+        if name not in _MODEL_REGISTRY:
+            _MODEL_REGISTRY[name] = factory()
+        return _MODEL_REGISTRY[name]
+
+
+class FakeRelevanceModel:
+    """Deterministic stand-in for a cross-encoder: md5-derived relevance,
+    plus instrumentation (load/batch/item counters) so tests can prove the
+    lazy-load and batching behavior. Scores are per-pair independent."""
+
+    loads = 0  # class-level: counts constructions in THIS process
+
+    def __init__(self):
+        type(self).loads += 1
+        self.batches = 0
+        self.items = 0
+
+    def score_batch(self, pairs: list[tuple[str, str]]) -> list[float]:
+        self.batches += 1
+        self.items += len(pairs)
+        return [
+            int(hashlib.md5(f"{q}\x1f{t}".encode()).hexdigest()[:7], 16) / float(1 << 28)
+            for q, t in pairs
+        ]
+
+
+def fake_model_factory():
+    return FakeRelevanceModel()
+
+
+class HFCrossEncoderModel:
+    """Shape of a real integration (NOT runnable here: transformers/torch
+    are absent from this environment — SURVEY.md §2.9 scopes model payloads
+    as pluggable). Mirrors the reference's batched scoring: tokenize the
+    (query, passage) pairs, one forward pass per batch
+    (llmrankers/pairwise.py:176-204)."""
+
+    def __init__(self, checkpoint: str, device: str = "cuda", max_length: int = 512):
+        try:
+            import torch  # noqa: F401
+            from transformers import (  # noqa: F401
+                AutoModelForSequenceClassification,
+                AutoTokenizer,
+            )
+        except ImportError as e:  # pragma: no cover - env without torch
+            raise NotImplementedError(
+                "HFCrossEncoderModel needs torch+transformers; this container "
+                "has neither. Use FakeRelevanceModel for tests, or run on a "
+                "GPU cluster where the factory loads the checkpoint once per "
+                "executor python worker."
+            ) from e
+        self.tok = AutoTokenizer.from_pretrained(checkpoint)  # pragma: no cover
+        self.model = AutoModelForSequenceClassification.from_pretrained(checkpoint).to(device).eval()  # pragma: no cover
+        self.device, self.max_length = device, max_length  # pragma: no cover
+
+    def score_batch(self, pairs):  # pragma: no cover - needs torch
+        import torch
+
+        qs = [q for q, _ in pairs]
+        ts = [t for _, t in pairs]
+        enc = self.tok(qs, ts, truncation=True, padding=True, max_length=self.max_length, return_tensors="pt").to(self.device)
+        with torch.no_grad():
+            return self.model(**enc).logits.squeeze(-1).tolist()
+
+
+# ---------------------------------------------------------------------------
+# comparator over a scoring model
+# ---------------------------------------------------------------------------
+
+
+class ModelComparator:
+    """The comparator protocol backed by ``score_batch``. Decision rules
+    match MockComparator (argmax with first-wins ties / score >= / score-
+    sorted permutation) so every loop-semantics test applies unchanged.
+
+    ``dispatch`` is injected by :class:`_BatchEngine` to reroute score
+    requests into the cross-query pool; standalone use scores directly
+    through the per-worker cached model."""
+
+    def __init__(self, model_name: str, model_factory, dispatch=None):
+        self.model_name = model_name
+        self.model_factory = model_factory
+        self._dispatch = dispatch
+        self.calls = 0
+        self.prompt_items = 0
+
+    def _scores(self, query: str, texts: list[str]) -> list[float]:
+        self.calls += 1
+        self.prompt_items += len(texts)
+        if self._dispatch is not None:
+            return self._dispatch([(query, t) for t in texts])
+        model = get_model(self.model_name, self.model_factory)
+        return model.score_batch([(query, t) for t in texts])
+
+    def best_of(self, query: str, texts: list[str]) -> int:
+        s = self._scores(query, texts)
+        return max(range(len(texts)), key=lambda i: (s[i], -i))
+
+    def pair(self, query: str, a: str, b: str) -> tuple[bool, bool]:
+        # a scoring model is order-consistent by construction; both prompt
+        # orders of the reference (pairwise.py:84-90) collapse to one batch
+        sa, sb = self._scores(query, [a, b])
+        win = sa >= sb
+        return win, win
+
+    def permutation(self, query: str, texts: list[str]) -> str:
+        s = self._scores(query, texts)
+        order = sorted(range(len(texts)), key=lambda i: (-s[i], i))
+        return " > ".join(f"[{i + 1}]" for i in order)
+
+
+# ---------------------------------------------------------------------------
+# cross-query batch engine
+# ---------------------------------------------------------------------------
+
+
+class _BatchEngine:
+    """Pools concurrent score requests from many per-query loop threads
+    into large model batches.
+
+    Each query's sort loop runs in its own thread and blocks inside
+    :meth:`request`. A flush happens when every live thread is waiting
+    (nothing more can join the batch) or the pool reached ``batch_size``
+    items. Because scores are independent per (query, passage) pair, batch
+    composition cannot change any result — only the number of model calls.
+    """
+
+    def __init__(self, model, batch_size: int = 64):
+        self.model = model
+        self.batch_size = batch_size
+        self.cond = threading.Condition()
+        self.pending: list[tuple[list, dict]] = []  # (pairs, slot)
+        self.pending_items = 0
+        self.live = 0
+        self.flushes = 0
+
+    def request(self, pairs: list[tuple[str, str]]) -> list[float]:
+        slot: dict = {}
+        with self.cond:
+            self.pending.append((pairs, slot))
+            self.pending_items += len(pairs)
+            if self.pending_items >= self.batch_size or len(self.pending) >= self.live:
+                self._flush_locked()
+            while "res" not in slot:
+                self.cond.wait()
+        return slot["res"]
+
+    def _thread_done(self) -> None:
+        with self.cond:
+            self.live -= 1
+            # remaining waiters may now constitute "everyone"
+            if self.pending and len(self.pending) >= self.live:
+                self._flush_locked()
+
+    def _flush_locked(self) -> None:
+        batch, self.pending, self.pending_items = self.pending, [], 0
+        if not batch:
+            return
+        flat = [p for pairs, _ in batch for p in pairs]
+        scores = self.model.score_batch(flat)
+        self.flushes += 1
+        i = 0
+        for pairs, slot in batch:
+            slot["res"] = scores[i : i + len(pairs)]
+            i += len(pairs)
+        self.cond.notify_all()
+
+    def run(self, tasks: list) -> list:
+        """Run ``tasks`` (zero-arg callables, one per query) to completion
+        with pooled batching; returns their results in input order."""
+        results: list = [None] * len(tasks)
+        errors: list = []
+
+        def wrap(i, fn):
+            try:
+                results[i] = fn()
+            except BaseException as e:  # noqa: BLE001 - propagate to caller
+                errors.append(e)
+            finally:
+                self._thread_done()
+
+        self.live = len(tasks)
+        threads = [threading.Thread(target=wrap, args=(i, fn), daemon=True) for i, fn in enumerate(tasks)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        return results
+
+
+def rerank_batched(
+    candidates: DataFrame,
+    method: str = "setwise.heapsort",
+    model_name: str = "fake",
+    model_factory=fake_model_factory,
+    k: int = 10,
+    num_child: int = 3,
+    window_size: int = 4,
+    step_size: int = 2,
+    num_repeat: int = 1,
+    batch_size: int = 64,
+    queries_per_task: int = 64,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Rerank with a real (lazily-loaded, batch-scoring) model.
+
+    Unlike :func:`rerank` (one qid per Arrow group), this shards qids so
+    each task owns ``queries_per_task`` of them and the batch engine can
+    pool their compare requests — the GPU-scale layout. Results are
+    identical to the per-qid path for any per-pair-independent model
+    (tested batched ≡ sequential in test_model_comparator.py).
+
+    At 100 TB / 10^6-query scale: tasks = n_queries / queries_per_task,
+    each holding ``queries_per_task × hits`` candidate texts in one Arrow
+    batch — size queries_per_task so that fits executor memory, and
+    batch_size to the model's optimal GPU batch.
+    """
+    params = dict(
+        k=k, num_child=num_child, window_size=window_size, step_size=step_size, num_repeat=num_repeat
+    )
+
+    def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        model = get_model(model_name, model_factory)
+        engine = _BatchEngine(model, batch_size=batch_size)
+
+        tasks = []
+        qids = []
+        for qid, g in pdf.sort_values(["qid", "rank"]).groupby("qid", sort=True):
+            items = list(zip(g["docid"], g["text"]))
+            query = g["query"].iloc[0]
+
+            def mk(items=items, query=query):
+                cmp = ModelComparator(model_name, model_factory, dispatch=engine.request)
+                return rerank_local(method, items, query, cmp, **params)
+
+            tasks.append(mk)
+            qids.append(qid)
+
+        ranked_all = engine.run(tasks)
+        frames = [
+            pd.DataFrame(
+                {
+                    "qid": qid,
+                    "docid": [d for d, _ in ranked],
+                    "rank": range(1, len(ranked) + 1),
+                    "score": [s for _, s in ranked],
+                }
+            )
+            for qid, ranked in zip(qids, ranked_all)
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    # deterministic qid->shard spread: ~queries_per_task qids per task. The
+    # distinct count is a distributed aggregate (no data collected); pass
+    # num_tasks explicitly to skip even that job.
+    if num_tasks is None:
+        n_q = candidates.select("qid").distinct().count()
+        num_tasks = max(1, -(-n_q // max(queries_per_task, 1)))
+    shards = candidates.withColumn("_shard", F.pmod(F.xxhash64("qid"), F.lit(num_tasks)))
+    return shards.groupBy("_shard").applyInPandas(lambda _, pdf: run_shard(pdf), schema=RERANK_SCHEMA)

@@ -365,16 +365,72 @@ def receive_permutation(items: list, response: str, start: int, end: int) -> lis
     return out
 
 
-def listwise_slide(items: list, query: str, cmp, window_size: int, step_size: int, num_repeat: int) -> list:
+def build_rank_prompt(query: str, texts: list[str]) -> str:
+    """RankGPT-style 'complete' prompt (listwise.py:90-110): preamble, one
+    ``[i] passage`` line per doc, ranking instruction. Only used to MEASURE
+    prompt size for the budget-shrink loop; generation payloads build their
+    own (the comparator is a black box)."""
+    n = len(texts)
+    head = (
+        f"The following are {n} passages, each indicated by number identifier []. "
+        f"Rank them based on their relevance to query: {query}\n\n"
+    )
+    body = "".join(f"[{i + 1}] {t}\n" for i, t in enumerate(texts))
+    tail = (
+        f"Rank the {n} passages above based on their relevance to the search query. "
+        "The output format should be [] > [], e.g., [2] > [1]."
+    )
+    return head + body + tail
+
+
+def shrink_window_words(
+    query: str,
+    texts: list[str],
+    token_budget: int,
+    start_words: int = 300,
+    reserve: int = 200,
+    counter=None,
+) -> tuple[list[str], int]:
+    """Listwise prompt-budget shrink (listwise.py:63-88): clamp every
+    passage to ``max_words`` words, measure the assembled prompt, decrement
+    the cap by 1 and rebuild until it fits ``token_budget - reserve``.
+    The reference counts with tiktoken; ours defaults to the engine's simple
+    tokenizer (documented deviation — the control loop is what's preserved).
+    Returns (clamped_texts, final_word_cap)."""
+    from llm_rankers_spark.functions.tokenize import tokenize
+
+    counter = counter or (lambda s: len(tokenize(s, "simple")))
+    max_words = start_words
+    while True:
+        clamped = [" ".join((t or "").split()[:max_words]) for t in texts]
+        if counter(build_rank_prompt(query, clamped)) <= token_budget - reserve or max_words <= 1:
+            return clamped, max_words
+        max_words -= 1
+
+
+def listwise_slide(
+    items: list,
+    query: str,
+    cmp,
+    window_size: int,
+    step_size: int,
+    num_repeat: int,
+    token_budget: int | None = None,
+    start_words: int = 300,
+) -> list:
     # semantics of listwise.py:178-196: window [start, end) moves end→start
-    # by step, repeated num_repeat times
+    # by step, repeated num_repeat times; with a token_budget each window's
+    # passages pass through the budget-shrink loop first (listwise.py:63-88)
     arr = list(items)
     for _ in range(num_repeat):
         end = len(arr)
         start = end - window_size
         while start >= 0:
             start = max(start, 0)
-            resp = cmp.permutation(query, [t for _, t in arr[start:end]])
+            texts = [t for _, t in arr[start:end]]
+            if token_budget is not None:
+                texts, _ = shrink_window_words(query, texts, token_budget, start_words)
+            resp = cmp.permutation(query, texts)
             arr = receive_permutation(arr, resp, start, end)
             end -= step_size
             start -= step_size
@@ -406,7 +462,8 @@ _METHODS = {
     "pairwise.heapsort": lambda it, q, c, p: pairwise_heapsort(it, q, c, p["k"]),
     "pairwise.bubblesort": lambda it, q, c, p: pairwise_bubblesort(it, q, c, p["k"]),
     "listwise.sliding": lambda it, q, c, p: listwise_slide(
-        it, q, c, p["window_size"], p["step_size"], p["num_repeat"]
+        it, q, c, p["window_size"], p["step_size"], p["num_repeat"],
+        p.get("token_budget"), p.get("start_words", 300),
     ),
 }
 
@@ -418,6 +475,8 @@ def rerank_local(method: str, items: list, query: str, cmp, **params) -> list[tu
     params.setdefault("window_size", 4)
     params.setdefault("step_size", 2)
     params.setdefault("num_repeat", 1)
+    params.setdefault("token_budget", None)
+    params.setdefault("start_words", 300)
     reordered = _METHODS[method](items, query, cmp, params)
     if method == "listwise.sliding":
         # listwise assigns score=-i to the whole list (listwise.py:194-195)
@@ -435,6 +494,8 @@ def rerank(
     step_size: int = 2,
     num_repeat: int = 1,
     hits: int | None = None,
+    token_budget: int | None = None,
+    start_words: int = 300,
 ) -> DataFrame:
     """Rerank first-stage candidates.
 
@@ -445,7 +506,8 @@ def rerank(
     """
     comparator = comparator or MockComparator()
     params = dict(
-        k=k, num_child=num_child, window_size=window_size, step_size=step_size, num_repeat=num_repeat
+        k=k, num_child=num_child, window_size=window_size, step_size=step_size,
+        num_repeat=num_repeat, token_budget=token_budget, start_words=start_words,
     )
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -72,11 +72,25 @@ def run_pipeline(
     tokenizer_mode: str = "code",
     num_shards: int = 8,
     resume: bool = True,
+    query_length: int | None = None,
+    passage_length: int | None = None,
 ) -> dict:
-    """Returns {"run_path", "trec_path", "metrics", "ndcg" (if qrels)}."""
+    """Returns {"run_path", "trec_path", "metrics", "ndcg" (if qrels)}.
+
+    ``query_length`` / ``passage_length`` reproduce the reference's
+    pre-rerank clamps (run.py:135-149 truncates every query via the ranker
+    tokenizer, :174 every passage; both default 128 there). Applied through
+    the shared engine tokenizer (F1)."""
+    from llm_rankers_spark.functions.tokenize import truncate_col
+
     os.makedirs(work_dir, exist_ok=True)
     metrics: dict[str, float] = {}
     t_all = time.time()
+
+    if query_length is not None:
+        queries = queries.withColumn(
+            "query", truncate_col("query", query_length, tokenizer_mode)
+        )
 
     # 1. index (self-resuming)
     t0 = time.time()
@@ -114,12 +128,12 @@ def run_pipeline(
     # 4. rerank with per-qid resume
     comparator = comparator or MockComparator()
     st_rr = Stage(work_dir, "reranked")
-    rr_fp = q_fp + f":{ex_fp}:{rerank_method}:{rerank_k}"
+    rr_fp = q_fp + f":{ex_fp}:{rerank_method}:{rerank_k}:{passage_length}"
     # the partial marker pins everything EXCEPT the query set: per-qid reuse
     # across a grown query batch is the point of resume (the reference skips
     # qids already in the run file, Rank-R1/run_setwise.py:284-302), but a
     # changed method/k/index/exclusion set must invalidate partial output.
-    cfg_fp = f"{idx.meta.input_fingerprint}:{hits}:{ex_fp}:{rerank_method}:{rerank_k}"
+    cfg_fp = f"{idx.meta.input_fingerprint}:{hits}:{ex_fp}:{rerank_method}:{rerank_k}:{passage_length}"
     t0 = time.time()
     partial_path = st_rr.meta_path + ".partial"
     if not (resume and st_rr.is_done(rr_fp)):
@@ -128,6 +142,8 @@ def run_pipeline(
             .join(queries, "qid")
             .select("qid", "query", "docid", "rank", "text")
         )
+        if passage_length is not None:
+            cands = cands.withColumn("text", truncate_col("text", passage_length, tokenizer_mode))
         # Per-qid reuse is only sound if the existing partial output was
         # produced under the SAME rerank fingerprint (method/k/query set) —
         # otherwise a changed config would silently keep stale results.

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from llm_rankers_spark.operators.bm25 import search
-from llm_rankers_spark.operators.index_build import build_index, load_index
+from llm_rankers_spark.operators.index_build import (
+    build_index,
+    build_index_from_forward,
+    load_index,
+)
 
 
 def _manifest_path(root: str) -> str:
@@ -114,6 +118,80 @@ def search_segments(spark: SparkSession, root: str, queries: DataFrame, k: int =
         .filter(F.col("rank") <= k)
         .select("qid", "docid", "rank", "score", "tag")
     )
+
+
+def _decode_postings_forward(idx) -> DataFrame:
+    """Decode one segment's packed postings back to (docid, term, tf) rows —
+    a mapInPandas unpack per posting row joined with the segment doc_map for
+    the ord→docid mapping. No tokenization; one join per segment."""
+    import pandas as pd
+
+    from llm_rankers_spark.functions import codec
+
+    def unpack_rows(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ords, tfs, _dls = codec.unpack_all(
+                    {
+                        "n": int(row["n"]),
+                        "docs_blob": row["docs_blob"],
+                        "tfs_blob": row["tfs_blob"],
+                        "dls_blob": row["dls_blob"],
+                    }
+                )
+                yield pd.DataFrame({"ord": ords, "term": row["term"], "tf": tfs})
+
+    decoded = idx.postings.select("term", "n", "docs_blob", "tfs_blob", "dls_blob").mapInPandas(
+        unpack_rows, schema="ord long, term string, tf long"
+    )
+    return decoded.join(idx.doc_map.select("ord", "docid"), "ord").select("docid", "term", "tf")
+
+
+def compact_segments(spark: SparkSession, root: str, num_shards: int = 4, name: str = "segment_compacted") -> None:
+    """Fold all registered segments into ONE (the Lucene merge): decode each
+    segment's postings (no re-tokenization), union the doc_maps, and rebuild
+    through :func:`build_index_from_forward` — fresh global docid-ordered
+    ordinals, global avgdl-baked block-max bounds, one manifest. The
+    segments manifest is rewritten to the compacted segment (epoch history
+    kept so stream replay stays exactly-once); old segment dirs are removed.
+
+    Search results are rank-identical pre/post compaction because df/N/avgdl
+    were already computed globally at query time (segment_stats) and tf/dl
+    per (doc, term) are preserved exactly (tested in test_streaming.py)."""
+    segs = list_segments(root)
+    if len(segs) <= 1:
+        return
+    idxs = [load_index(spark, os.path.join(root, s)) for s in segs]
+    tokenizer_mode = idxs[0].meta.tokenizer_mode
+    fwd = None
+    docs_meta = None
+    for idx in idxs:
+        f = _decode_postings_forward(idx)
+        m = idx.doc_map.select("docid", "dl", "content_sha256")
+        fwd = f if fwd is None else fwd.unionByName(f)
+        docs_meta = m if docs_meta is None else docs_meta.unionByName(m)
+
+    tmp_name = f"_{name}_building"
+    build_index_from_forward(
+        fwd, docs_meta, os.path.join(root, tmp_name),
+        tokenizer_mode=tokenizer_mode, num_shards=num_shards,
+        k1=idxs[0].meta.k1, b=idxs[0].meta.b,
+    )
+    import shutil
+
+    final_path = os.path.join(root, name)
+    if os.path.exists(final_path):
+        shutil.rmtree(final_path)
+    os.rename(os.path.join(root, tmp_name), final_path)
+
+    with open(_manifest_path(root)) as f:
+        m = json.load(f)
+    m["segments"] = [name]
+    with open(_manifest_path(root), "w") as f:
+        json.dump(m, f, indent=1)
+    for s in segs:
+        if s != name:
+            shutil.rmtree(os.path.join(root, s), ignore_errors=True)
 
 
 def streaming_event_counts(spark: SparkSession, events_dir: str, window: str = "5 minutes") -> DataFrame:

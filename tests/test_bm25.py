@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from llm_rankers_spark.corpus import generate_corpus, generate_queries, with_docid
-from llm_rankers_spark.operators.bm25 import bm25_dataframe, search
+from llm_rankers_spark.operators.bm25 import bm25_dataframe, search, search_distributed
 from llm_rankers_spark.operators.index_build import build_index, load_index
 
 from .oracle_bm25 import bm25_oracle
@@ -53,6 +53,20 @@ def _collect_runs(df):
 @pytest.mark.parametrize("method", ["exhaustive", "wand", "auto"])
 def test_rank_identical_to_oracle(index, queries, oracle, method):
     got = _collect_runs(search(index, queries, k=10, method=method))
+    qids_with_hits = {q for q, hits in oracle.items() if hits}
+    assert set(got.keys()) == qids_with_hits
+    for qid in qids_with_hits:
+        g, w = got[qid], oracle[qid]
+        assert [d for d, _ in g] == [d for d, _ in w], f"docid mismatch for {qid}"
+        for (_, gs), (_, ws) in zip(g, w):
+            assert gs == pytest.approx(ws, abs=1e-6)
+
+
+@pytest.mark.parametrize("method", ["exhaustive", "wand"])
+def test_search_distributed_equals_driver_planned(index, queries, oracle, method):
+    # the fully-distributed batch path (no queries.collect, cogrouped query
+    # plan) must be result-identical to the driver-planned path and the oracle
+    got = _collect_runs(search_distributed(index, queries, k=10, method=method))
     qids_with_hits = {q for q, hits in oracle.items() if hits}
     assert set(got.keys()) == qids_with_hits
     for qid in qids_with_hits:

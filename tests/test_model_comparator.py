@@ -1,0 +1,119 @@
+"""Real-model comparator integration: lazy per-worker load, one-batch-per-
+call scoring, cross-query pooled batching, and batched ≡ sequential parity
+(the reference's DataLoader-batched inference, pairwise.py:176-204, as a
+Spark-shaped plug-in)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from llm_rankers_spark.operators.model_comparator import (
+    FakeRelevanceModel,
+    ModelComparator,
+    _BatchEngine,
+    fake_model_factory,
+    get_model,
+    rerank_batched,
+)
+from llm_rankers_spark.operators.rerank import MockComparator, rerank, rerank_local
+
+
+def _fake_rel(query: str, text: str) -> float:
+    return int(hashlib.md5(f"{query}\x1f{text}".encode()).hexdigest()[:7], 16) / float(1 << 28)
+
+
+def _mk_items(qid: str, n: int = 12):
+    return [(f"{qid}_d{i:02d}", f"passage {qid} number {i} about topic {i % 4}") for i in range(n)]
+
+
+def test_get_model_loads_once_per_process():
+    before = FakeRelevanceModel.loads
+    a = get_model("cache-test", fake_model_factory)
+    b = get_model("cache-test", fake_model_factory)
+    assert a is b
+    assert FakeRelevanceModel.loads == before + 1
+
+
+def test_model_comparator_one_batch_per_call():
+    model = FakeRelevanceModel()
+    cmp = ModelComparator("m", lambda: model, dispatch=model.score_batch)
+    win = cmp.best_of("q", ["alpha", "beta", "gamma"])
+    assert model.batches == 1 and model.items == 3
+    # decision parity with MockComparator on the same relevance
+    mock = MockComparator(relevance=_fake_rel)
+    assert win == mock.best_of("q", ["alpha", "beta", "gamma"])
+    assert cmp.pair("q", "alpha", "beta") == mock.pair("q", "alpha", "beta")
+    assert cmp.permutation("q", ["alpha", "beta"]) == mock.permutation("q", ["alpha", "beta"])
+
+
+@pytest.mark.parametrize("method", ["setwise.heapsort", "pairwise.heapsort", "pairwise.allpair", "listwise.sliding"])
+def test_engine_batched_equals_sequential(method):
+    queries = [(f"q{i}", _mk_items(f"q{i}")) for i in range(6)]
+    # sequential: direct model scoring, one loop at a time
+    seq = {}
+    for qid, items in queries:
+        cmp = ModelComparator("m", fake_model_factory, dispatch=FakeRelevanceModel().score_batch)
+        seq[qid] = rerank_local(method, items, f"query {qid}", cmp, k=5)
+    # batched: all loops in lockstep threads through one engine
+    model = FakeRelevanceModel()
+    engine = _BatchEngine(model, batch_size=16)
+    tasks = []
+    for qid, items in queries:
+        def mk(qid=qid, items=items):
+            cmp = ModelComparator("m", fake_model_factory, dispatch=engine.request)
+            return rerank_local(method, items, f"query {qid}", cmp, k=5)
+        tasks.append(mk)
+    got = dict(zip([q for q, _ in queries], engine.run(tasks)))
+    assert got == seq
+    # pooling actually happened: fewer model batches than comparator calls
+    assert model.batches == engine.flushes
+    probe = ModelComparator("m", fake_model_factory, dispatch=FakeRelevanceModel().score_batch)
+    rerank_local(method, queries[0][1], "query q0", probe, k=5)
+    total_calls = probe.calls * len(queries)
+    assert engine.flushes < total_calls, (
+        f"no cross-query pooling: {engine.flushes} flushes for {total_calls} compare calls"
+    )
+
+
+def test_pointwise_model_scorer_matches_direct(spark):
+    from llm_rankers_spark.operators.pointwise import model_scorer, pointwise_rerank
+
+    rows = []
+    for q in range(3):
+        for d, t in _mk_items(f"q{q}", n=9):
+            rows.append((f"q{q}", f"query {q}", d, int(d[-2:]) + 1, t))
+    cands = spark.createDataFrame(rows, "qid string, query string, docid string, rank int, text string")
+
+    via_model = pointwise_rerank(cands, scorer=model_scorer("pw-test", fake_model_factory, batch_size=4))
+    import numpy as np
+
+    def direct(queries, texts):
+        return np.array([_fake_rel(q, t) for q, t in zip(queries, texts)])
+
+    via_direct = pointwise_rerank(cands, scorer=direct)
+    a = {(r.qid, r.docid, r.rank) for r in via_model.collect()}
+    b = {(r.qid, r.docid, r.rank) for r in via_direct.collect()}
+    assert a == b
+
+
+def test_rerank_batched_matches_per_qid_rerank(spark):
+    rows = []
+    for q in range(8):
+        for d, t in _mk_items(f"q{q}"):
+            rows.append((f"q{q}", f"query text {q}", d, int(d[-2:]) + 1, t))
+    cands = spark.createDataFrame(rows, "qid string, query string, docid string, rank int, text string")
+
+    base = rerank(cands, method="setwise.heapsort", comparator=MockComparator(relevance=_fake_rel), k=5)
+    batched = rerank_batched(
+        cands, method="setwise.heapsort", model_name="spark-test", model_factory=fake_model_factory,
+        k=5, batch_size=8, queries_per_task=3,
+    )
+    a = {(r.qid, r.docid, r.rank, r.score) for r in base.collect()}
+    b = {(r.qid, r.docid, r.rank, r.score) for r in batched.collect()}
+    assert a == b
+    # 8 qids at 3/task -> multiple shards, so pooling ran under Spark too
+    n_shards = rerank_batched(
+        cands, method="setwise.heapsort", model_factory=fake_model_factory, k=5, queries_per_task=3,
+    ).select("qid").distinct().count()
+    assert n_shards == 8

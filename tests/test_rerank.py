@@ -12,12 +12,15 @@ import pytest
 from llm_rankers_spark.operators.rerank import (
     MockComparator,
     assemble,
+    build_rank_prompt,
     clean_permutation,
+    listwise_slide,
     pairwise_allpair,
     receive_permutation,
     rerank,
     rerank_local,
     setwise_heapsort,
+    shrink_window_words,
     shuffle_candidates,
 )
 
@@ -121,6 +124,52 @@ def test_listwise_full_window_sorts():
     )
     assert [d for d, _ in out] == [d for d, _ in sorted(items, key=lambda it: -relevance(QUERY, it[1]))]
     assert [s for _, s in out] == [0.0, -1.0, -2.0, -3.0, -4.0, -5.0, -6.0, -7.0]
+
+
+def test_shrink_window_words_fits_budget():
+    # listwise.py:63-88: word cap decrements until the assembled prompt fits
+    query = "the search query"
+    texts = [f"word{i} " * 50 for i in range(4)]  # 50 words each
+    full_cost = len(build_rank_prompt(query, [t.strip() for t in texts]).split())
+    budget = full_cost // 2 + 200  # forces shrinking
+    clamped, cap = shrink_window_words(
+        query, texts, token_budget=budget, start_words=50, reserve=200,
+        counter=lambda s: len(s.split()),
+    )
+    assert cap < 50
+    assert all(len(c.split()) <= cap for c in clamped)
+    assert len(build_rank_prompt(query, clamped).split()) <= budget - 200
+    # a generous budget leaves texts at the starting cap
+    same, cap2 = shrink_window_words(
+        query, texts, token_budget=10**6, start_words=50, counter=lambda s: len(s.split())
+    )
+    assert cap2 == 50 and [s.split() for s in same] == [t.split() for t in texts]
+
+
+def test_shrink_floor_is_one_word():
+    clamped, cap = shrink_window_words(
+        "q", ["aaa bbb ccc"], token_budget=1, reserve=0, counter=lambda s: len(s.split())
+    )
+    assert cap == 1 and clamped == ["aaa"]
+
+
+def test_listwise_budget_clamp_preserves_loop():
+    # with the clamp active the comparator sees clamped texts but the
+    # permutation still reorders the original items
+    rels = [3, 1, 2]
+    items = [(f"d{i}", f"padding {' x' * 30} rel={r}") for i, r in enumerate(rels)]
+
+    class FirstWordComparator(MockComparator):
+        def permutation(self, query, texts):
+            assert all(len(t.split()) <= 1 for t in texts)  # clamp reached us
+            order = sorted(range(len(texts)), key=lambda i: texts[i])
+            return " > ".join(f"[{i + 1}]" for i in order)
+
+    out = listwise_slide(
+        items, QUERY, FirstWordComparator(), window_size=3, step_size=3, num_repeat=1,
+        token_budget=1, start_words=1,
+    )
+    assert {d for d, _ in out} == {"d0", "d1", "d2"}
 
 
 def test_listwise_sliding_window_promotes():

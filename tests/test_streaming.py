@@ -9,6 +9,7 @@ from llm_rankers_spark.corpus import generate_corpus, with_docid
 from llm_rankers_spark.operators.bm25 import search
 from llm_rankers_spark.operators.index_build import build_index
 from llm_rankers_spark.streaming.index_stream import (
+    compact_segments,
     list_segments,
     search_segments,
     start_index_stream,
@@ -57,6 +58,45 @@ def test_incremental_segments_match_batch_index(spark, doc_batches, tmp_path):
     assert [x[:3] for x in g] == [x[:3] for x in w]  # rank-identical
     for a, b in zip(g, w):
         assert a[3] == pytest.approx(b[3], abs=1e-6)
+
+
+def test_compaction_rank_identical(spark, doc_batches, tmp_path):
+    # own input dir (the shared one's file set depends on test order)
+    _base, d1, d2, _docs = doc_batches
+    base = str(tmp_path / "stream_in_c")
+    root = str(tmp_path / "segroot_c")
+    d1.write.mode("overwrite").parquet(os.path.join(base, "drop1"))
+    q = start_index_stream(spark, os.path.join(base, "*"), root, num_shards=2)
+    q.awaitTermination(120)
+    d2.write.mode("overwrite").parquet(os.path.join(base, "drop2"))
+    q2 = start_index_stream(spark, os.path.join(base, "*"), root, num_shards=2)
+    q2.awaitTermination(120)
+    n_before = len(list_segments(root))
+    assert n_before == 2
+
+    queries = spark.createDataFrame(
+        [("c1", "parse query"), ("c2", "passage_7"), ("c3", "import def return")],
+        "qid string, query string",
+    )
+    before = [
+        (r["qid"], r["docid"], r["rank"], round(r["score"], 9))
+        for r in search_segments(spark, root, queries, k=5).orderBy("qid", "rank").collect()
+    ]
+    compact_segments(spark, root, num_shards=2)
+    segs = list_segments(root)
+    assert segs == ["segment_compacted"]
+    assert not os.path.exists(os.path.join(root, "segment_00000"))
+    after = [
+        (r["qid"], r["docid"], r["rank"], round(r["score"], 9))
+        for r in search_segments(spark, root, queries, k=5).orderBy("qid", "rank").collect()
+    ]
+    assert [x[:3] for x in before] == [x[:3] for x in after]  # rank-identical
+    for a, b in zip(before, after):
+        assert a[3] == pytest.approx(b[3], abs=1e-6)
+    # compacted segment preserves the sha256 per-row invariant
+    idx_path = os.path.join(root, "segment_compacted")
+    dm = spark.read.parquet(os.path.join(idx_path, "doc_map"))
+    assert dm.filter(F.col("content_sha256").isNull()).count() == 0
 
 
 def test_segment_replay_is_idempotent(spark, doc_batches, tmp_path):
