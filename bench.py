@@ -189,7 +189,7 @@ def run_workload(master: str, sf_dir: str, scale_only: bool = False) -> dict[str
     from pyspark.sql import functions as F
 
     from llm_rankers_spark.corpus import driver_documents
-    from llm_rankers_spark.operators.bm25 import bm25_dataframe, search
+    from llm_rankers_spark.operators.bm25 import bm25_dataframe, search, search_distributed
     from llm_rankers_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
     from llm_rankers_spark.operators.index_build import build_index
     from llm_rankers_spark.operators.rerank import MockComparator, rerank
@@ -245,6 +245,14 @@ def run_workload(master: str, sf_dir: str, scale_only: bool = False) -> dict[str
             t0 = time.perf_counter()
             cosine_topk(emb, qv, k=10).count()
             times["cosine"] = time.perf_counter() - t0
+
+            # extra (not in the summed headline, reported separately): the
+            # fully-distributed batch plan at 4096 queries — no
+            # queries.collect(), query weights cogrouped with shard postings
+            big_qs = bench_queries(spark, n=4096)
+            t0 = time.perf_counter()
+            search_distributed(idx, big_qs, k=10, method="auto").count()
+            times["_extra_bm25_dist4096"] = time.perf_counter() - t0
 
         shutil.rmtree(idx_path, ignore_errors=True)
         return times
@@ -382,21 +390,22 @@ def main() -> None:
     times = run_workload(f"local[{CPUS}]", args.sf_dir)
     n_docs = times.pop("n_docs")
     n_queries = times.pop("n_queries")
+    extras = {k[7:]: times.pop(k) for k in [k for k in times if k.startswith("_extra_")]}
     total = sum(times.values())
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_headline_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in times.items()},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "docs_per_sec_build": round(n_docs / times["build"], 1),
-                "queries_per_sec_bm25": round(n_queries / times["bm25_wand"], 1),
-            }
-        )
-    )
+    out = {
+        "metric": "e2e_headline_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in times.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs_per_sec_build": round(n_docs / times["build"], 1),
+        "queries_per_sec_bm25": round(n_queries / times["bm25_wand"], 1),
+    }
+    if "bm25_dist4096" in extras:
+        out["queries_per_sec_dist4096"] = round(4096 / extras["bm25_dist4096"], 1)
+        out["bm25_dist4096_sec"] = round(extras["bm25_dist4096"], 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -31,6 +31,7 @@ RERANK_METHODS = (
     "setwise.heapsort", "setwise.bubblesort",
     "pairwise.allpair", "pairwise.heapsort", "pairwise.bubblesort",
     "listwise.sliding",
+    "pointwise.yes_no", "pointwise.qlm", "pointwise.monot5",
 )
 
 
@@ -99,6 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="query token clamp (run.py:220, default 128)")
     p_r.add_argument("--passage-length", type=int, default=128,
                      help="passage token clamp (run.py:221, default 128)")
+    p_r.add_argument("--shuffle", default=None, choices=["random", "inverse"],
+                     help="pre-rerank candidate permutation (run.py:185-191)")
     p_r.add_argument("--no-resume", action="store_true")
     _add_common(p_r)
 
@@ -153,6 +156,7 @@ def main(argv: list[str] | None = None) -> int:
             resume=not args.no_resume,
             query_length=args.query_length,
             passage_length=args.passage_length,
+            shuffle=args.shuffle,
         )
         print(json.dumps({"trec_path": out["trec_path"], "metrics": out["metrics"]}))
         return 0

@@ -394,7 +394,14 @@ def build_index(
             "ord", "docid", "content_sha256", "dl", F.posexplode("counts").alias("pos", "tc")
         )
         .select(
-            "ord", "docid", "content_sha256", "dl", "pos",
+            "ord",
+            # docid/sha are only consumed from the pos==0 row (doc_map) —
+            # nulling them elsewhere cuts the checkpoint write volume by the
+            # sha64+docid width × (terms-per-doc − 1), the dominant bytes of
+            # the build's largest disk write
+            F.when(is_first, F.col("docid")).alias("docid"),
+            F.when(is_first, F.col("content_sha256")).alias("content_sha256"),
+            "dl", "pos",
             F.col("tc.term").alias("term"), F.col("tc.tf").cast("long").alias("tf"),
         )
         .withColumn("shard", (F.col("ord") / F.lit(shard_size)).cast("int"))

@@ -75,6 +75,45 @@ def write_trec_run(run: DataFrame, path: str, tag: str = "llm_rankers_spark", si
     shutil.rmtree(tmp)
 
 
+def append_trec_run(run: DataFrame, path: str, tag: str = "llm_rankers_spark") -> int:
+    """Append-mode TREC resume sink (Rank-R1/run_setwise.py:79-87): the
+    reference appends each finished query's lines to ONE text run file and
+    skips qids already present on restart. Reproduced here for drop-in
+    compatibility: read done qids from the file, anti-join them away, append
+    the remainder (sorted by qid, rank). Returns the number of qids written.
+
+    This is a single local text file, so it is inherently an eval-sized
+    contract (the reference's). The engine-native resume for big runs is the
+    pipeline's per-qid parquet stage (plans/pipeline.py) + write_trec_run.
+    """
+    import os
+
+    spark = run.sparkSession
+    done: set[str] = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            done = {ln.split(None, 1)[0] for ln in f if ln.strip()}
+    todo = run
+    if done:
+        done_df = spark.createDataFrame([(q,) for q in sorted(done)], "qid string")
+        todo = run.join(F.broadcast(done_df), "qid", "left_anti")
+    ranked = rerank_by_score(todo)
+    out = ranked.select(
+        "qid",
+        "rank",
+        F.concat_ws(
+            "\t", F.col("qid"), F.lit("Q0"), F.col("docid"),
+            F.col("rank").cast("string"), F.col("score").cast("string"), F.lit(tag),
+        ).alias("line"),
+    ).orderBy("qid", "rank")
+    new_qids: set[str] = set()
+    with open(path, "a") as f:
+        for row in out.toLocalIterator():
+            f.write(row["line"] + "\n")
+            new_qids.add(row["qid"])
+    return len(new_qids)
+
+
 def rerank_by_score(run: DataFrame) -> DataFrame:
     """Dense 1..n rank per qid by (score desc, docid asc)."""
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))

@@ -31,7 +31,18 @@ from pyspark.sql import functions as F
 from llm_rankers_spark.operators import runs as runs_ops
 from llm_rankers_spark.operators.bm25 import search
 from llm_rankers_spark.operators.index_build import build_index
-from llm_rankers_spark.operators.rerank import MockComparator, rerank
+from llm_rankers_spark.operators.pointwise import pointwise_rerank
+from llm_rankers_spark.operators.rerank import MockComparator, rerank, shuffle_candidates
+
+
+def _dispatch_rerank(cands, method: str, comparator, k: int):
+    """run.py:54-133 ranker dispatch: comparator loops (setwise/pairwise/
+    listwise) or pointwise scoring (pointwise.{yes_no,qlm,monot5})."""
+    if method.startswith("pointwise."):
+        return pointwise_rerank(cands, method=method.split(".", 1)[1]).select(
+            "qid", "docid", "rank", "score"
+        )
+    return rerank(cands, method=method, comparator=comparator, k=k)
 
 
 def _fingerprint(df: DataFrame, cols: list[str]) -> str:
@@ -74,6 +85,7 @@ def run_pipeline(
     resume: bool = True,
     query_length: int | None = None,
     passage_length: int | None = None,
+    shuffle: str | None = None,
 ) -> dict:
     """Returns {"run_path", "trec_path", "metrics", "ndcg" (if qrels)}.
 
@@ -128,12 +140,12 @@ def run_pipeline(
     # 4. rerank with per-qid resume
     comparator = comparator or MockComparator()
     st_rr = Stage(work_dir, "reranked")
-    rr_fp = q_fp + f":{ex_fp}:{rerank_method}:{rerank_k}:{passage_length}"
+    rr_fp = q_fp + f":{ex_fp}:{rerank_method}:{rerank_k}:{passage_length}:{shuffle}"
     # the partial marker pins everything EXCEPT the query set: per-qid reuse
     # across a grown query batch is the point of resume (the reference skips
     # qids already in the run file, Rank-R1/run_setwise.py:284-302), but a
     # changed method/k/index/exclusion set must invalidate partial output.
-    cfg_fp = f"{idx.meta.input_fingerprint}:{hits}:{ex_fp}:{rerank_method}:{rerank_k}:{passage_length}"
+    cfg_fp = f"{idx.meta.input_fingerprint}:{hits}:{ex_fp}:{rerank_method}:{rerank_k}:{passage_length}:{shuffle}"
     t0 = time.time()
     partial_path = st_rr.meta_path + ".partial"
     if not (resume and st_rr.is_done(rr_fp)):
@@ -144,6 +156,9 @@ def run_pipeline(
         )
         if passage_length is not None:
             cands = cands.withColumn("text", truncate_col("text", passage_length, tokenizer_mode))
+        if shuffle is not None:
+            # pre-rerank candidate permutation (run.py:185-191)
+            cands = shuffle_candidates(cands, how=shuffle)
         # Per-qid reuse is only sound if the existing partial output was
         # produced under the SAME rerank fingerprint (method/k/query set) —
         # otherwise a changed config would silently keep stale results.
@@ -169,7 +184,7 @@ def run_pipeline(
         if done_qids is not None:
             todo = cands.join(done_qids, "qid", "left_anti")
             if todo.limit(1).count() > 0:
-                fresh = rerank(todo, method=rerank_method, comparator=comparator, k=rerank_k)
+                fresh = _dispatch_rerank(todo, rerank_method, comparator, rerank_k)
                 merged = existing.unionByName(fresh)
             else:
                 merged = existing
@@ -179,7 +194,7 @@ def run_pipeline(
             final = spark.read.parquet(tmp)
             final.write.mode("overwrite").parquet(st_rr.path)
         else:
-            rerank(cands, method=rerank_method, comparator=comparator, k=rerank_k).write.mode(
+            _dispatch_rerank(cands, rerank_method, comparator, rerank_k).write.mode(
                 "overwrite"
             ).parquet(st_rr.path)
         st_rr.mark(rr_fp)

@@ -87,6 +87,17 @@ def test_changed_method_invalidates_partial_resume(spark, corpus, queries, tmp_p
     assert _read_trec(out_b["trec_path"]) == _read_trec(clean["trec_path"])
 
 
+def test_pipeline_pointwise_and_shuffle(spark, corpus, queries, tmp_path):
+    # pointwise dispatch (run.py:54-133) + pre-rerank shuffle (run.py:185-191)
+    out = run_pipeline(
+        spark, corpus, queries, str(tmp_path / "pw"), hits=10, rerank_k=5,
+        rerank_method="pointwise.yes_no", shuffle="inverse",
+        query_length=64, passage_length=64,
+    )
+    lines = _read_trec(out["trec_path"])
+    assert lines and all(len(ln.split("\t")) == 6 for ln in lines)
+
+
 def test_excluded_filter_in_pipeline(spark, corpus, queries, tmp_path):
     first = run_pipeline(spark, corpus, queries, str(tmp_path / "c1"), hits=10, rerank_k=3,
                          comparator=MockComparator())

@@ -97,6 +97,20 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert vp[("a", "b")] == pytest.approx(1.0)
 
 
+def test_minhash_lsh_identical_group_is_linear(spark):
+    # 30 identical docs + 1 near-dup: the identical group must produce a
+    # representative STAR (29 pairs), not the 435-pair clique, and the
+    # near-dup must still reach the group via its representative
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(f"dup{i:02d}", base) for i in range(30)] + [("near", base.replace("today", "tomorrow"))]
+    docs = spark.createDataFrame(rows, "docid string, content string")
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(sigs, num_hashes=32, bands=16).collect()}
+    group_pairs = {(a, b) for a, b in pairs if a.startswith("dup") and b.startswith("dup")}
+    assert group_pairs == {("dup00", f"dup{i:02d}") for i in range(1, 30)}  # star, linear
+    assert any("near" in p for p in pairs)  # near-dup caught via the representative
+
+
 def test_ngram_jaccard_dedup(docs):
     out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_dedup(docs, shingle_k=3, threshold=0.5).collect()}
     assert ("a", "b") in out and out[("a", "b")] == pytest.approx(1.0)

@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from llm_rankers_spark.operators.runs import (
+    append_trec_run,
     cap_hits,
     filter_excluded,
     filter_qids,
@@ -55,6 +56,21 @@ def test_trec_single_file_equals_parts(spark, run, tmp_path):
     assert lines(p_multi) == lines(p_one)
     assert len([p for p in glob.glob(os.path.join(p_one, "part-*"))]) == 1
     assert read_trec_run(spark, p_one).count() == run.count()
+
+
+def test_append_trec_run_resume(spark, run, tmp_path):
+    # reference contract (Rank-R1/run_setwise.py:79-87): restart appends only
+    # qids missing from the file; a full rerun is a no-op
+    path = str(tmp_path / "resume.trec")
+    part = run.filter(F.col("qid") != "q2")
+    assert append_trec_run(part, path, tag="t") == 2
+    n1 = sum(1 for _ in open(path))
+    assert append_trec_run(run, path, tag="t") == 1  # only q2 appended
+    lines = [ln.split("\t") for ln in open(path)]
+    assert len(lines) == 24 and {ln[0] for ln in lines} == {"q0", "q1", "q2"}
+    assert lines[n1][0] == "q2" and lines[n1][3] == "1"
+    assert append_trec_run(run, path, tag="t") == 0  # idempotent
+    assert sum(1 for _ in open(path)) == 24
 
 
 def test_cap_hits(run):
