@@ -114,6 +114,11 @@ def emu_worker(role: str, worker_id: int, n_workers: int, input_path: str, sync_
         docs = docs.persist()
         n_rows = docs.count()  # warm: input read + python workers spin up here
     else:
+        # query-load scaling: worker i serves its slice of the batch over the
+        # full index (N executor groups each take 1/N of the query stream —
+        # the serving-throughput model). A shard-split variant was measured
+        # too and is granularity-limited in THIS emulation (8 groups on 6
+        # cores + duplicated per-batch planning), not in the engine.
         idx = load_index(spark, input_path + "_index")
         idx.term_stats.limit(1).collect()  # warm session + python workers
         qs_all = bench_queries(spark, n=1024)
@@ -368,7 +373,7 @@ def main() -> None:
                 "barrier-started after warm-up — the faithful N vs 4N executor model: "
                 "`build` partitions the corpus by docid hash (document-partitioned segments, "
                 "queryable via the segment-merge search), `query` partitions the 1024-query batch "
-                "over the SAME full index.\n\n"
+                "over the SAME full index (query-load scaling).\n\n"
             )
             f.write("| stage | unit | throughput @1 JVM | throughput @4 JVMs | efficiency (thr4 / 4·thr1) |\n")
             f.write("|---|---|---|---|---|\n")

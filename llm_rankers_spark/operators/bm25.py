@@ -291,8 +291,14 @@ def search(
     b: float | None = None,
     tag: str = "llm_rankers_spark",
     stats_override: tuple | None = None,
+    shards: list[int] | None = None,
 ) -> DataFrame:
     """BM25 top-k → TREC-shaped DataFrame (qid, docid, rank, score, tag).
+
+    ``shards`` restricts the traversal to a shard subset — the unit of
+    shard-parallel serving across jobs/executors: shards hold disjoint doc
+    ranges, so per-subset top-k results union+re-rank to the exact global
+    top-k (the same merge search() already does across its shard groups).
 
     ``stats_override=(n_docs, avgdl, term_stats_df)`` swaps in global
     statistics — used by multi-segment search, where idf/avgdl must be
@@ -331,11 +337,20 @@ def search(
     if not distinct_terms:
         empty = queries.sparkSession.createDataFrame([], "qid string, docid string, rank int, score double, tag string")
         return empty
-    ts = ts_override if ts_override is not None else index.term_stats
-    df_map = {
-        r["term"]: int(r["df"])
-        for r in ts.filter(F.col("term").isin(distinct_terms)).select("term", "df").collect()
-    }
+    all_terms_df = queries.sparkSession.createDataFrame([(t,) for t in distinct_terms], "term string")
+    if ts_override is not None:
+        ts = ts_override.join(F.broadcast(all_terms_df), "term", "left_semi")
+    else:
+        # df from the bucket-PRUNED postings instead of the full term_stats
+        # scan: the batch's terms live in a handful of buckets, and the semi
+        # join keeps every shard row of each term, so Σn is the global df
+        ts = (
+            _prune_buckets(index.postings, meta, all_terms_df)
+            .join(F.broadcast(all_terms_df), "term", "left_semi")
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+        )
+    df_map = {r["term"]: int(r["df"]) for r in ts.select("term", "df").collect()}
     n_docs = float(n_override if n_override is not None else meta.n_docs)
     # (qid → [(term, weight)]) — bounded by batch_size × query_len
     qplan: dict[str, list[tuple[str, float]]] = {}
@@ -351,6 +366,8 @@ def search(
     terms_df = queries.sparkSession.createDataFrame([(t,) for t in live_terms], "term string")
 
     postings = _prune_buckets(index.postings, meta, terms_df)
+    if shards is not None:
+        postings = postings.filter(F.col("shard").isin([int(s) for s in shards]))
     cand = postings.join(F.broadcast(terms_df), "term", "left_semi")
 
     partial = cand.groupBy("shard").applyInPandas(
@@ -381,6 +398,7 @@ def search_distributed(
     b: float | None = None,
     tag: str = "llm_rankers_spark",
     stats_override: tuple | None = None,
+    query_chunks: int = 1,
 ) -> DataFrame:
     """BM25 top-k with the query plan kept distributed end to end — the
     10^5–10^6-query batch path.
@@ -395,6 +413,24 @@ def search_distributed(
     posting rows. ``queries`` is never collected; chunk a 10^6-query batch
     by qid range upstream if the replicated plan outgrows executor memory.
     """
+    if query_chunks > 1:
+        # beyond ~10^6 queries the per-shard cogrouped query plan outgrows a
+        # task's Arrow batch: hash-split the batch and union the top-k's
+        # (each chunk is an independent plan; results are per-qid, so the
+        # union is exact)
+        parts = [
+            search_distributed(
+                index,
+                queries.filter(F.pmod(F.xxhash64("qid"), F.lit(query_chunks)) == c),
+                k=k, method=method, k1=k1, b=b, tag=tag, stats_override=stats_override,
+            )
+            for c in range(query_chunks)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     meta = index.meta
     k1 = meta.k1 if k1 is None else k1
     b = meta.b if b is None else b
@@ -404,18 +440,22 @@ def search_distributed(
         method in ("wand", "auto") and k1 == meta.k1 and b == meta.b and avgdl_override is None
     )
     n_docs = float(n_override if n_override is not None else meta.n_docs)
-    ts = ts_override if ts_override is not None else index.term_stats
 
     qt = query_terms(queries, meta.tokenizer_mode)  # (qid, term, qw) — UDF, no collect
-    qw = qt.join(ts.select("term", "df"), "term").select(
+    terms_df = qt.select("term").distinct()
+    postings = _prune_buckets(index.postings, meta, terms_df)
+    cand = postings.join(terms_df, "term", "left_semi")
+    if ts_override is not None:
+        ts = ts_override.select("term", "df")
+    else:
+        # df from the pruned candidate rows (Σn over a term's shards = its
+        # global df) — never a full term_stats scan
+        ts = cand.groupBy("term").agg(F.sum("n").alias("df"))
+    qw = qt.join(ts, "term").select(
         "qid",
         "term",
         (F.col("qw") * _idf(int(n_docs))(F.col("df").cast("double"))).alias("w"),
     )
-    terms_df = qw.select("term").distinct()
-
-    postings = _prune_buckets(index.postings, meta, terms_df)
-    cand = postings.join(terms_df, "term", "left_semi")
 
     # replicate the (small) per-query weights to every shard and cogroup:
     # each task sees (shard's postings, full query plan) — no closures.

@@ -202,8 +202,10 @@ class _BatchEngine:
             self.pending_items += len(pairs)
             if self.pending_items >= self.batch_size or len(self.pending) >= self.live:
                 self._flush_locked()
-            while "res" not in slot:
+            while "res" not in slot and "err" not in slot:
                 self.cond.wait()
+        if "err" in slot:
+            raise slot["err"]
         return slot["res"]
 
     def _thread_done(self) -> None:
@@ -218,7 +220,13 @@ class _BatchEngine:
         if not batch:
             return
         flat = [p for pairs, _ in batch for p in pairs]
-        scores = self.model.score_batch(flat)
+        try:
+            scores = self.model.score_batch(flat)
+        except BaseException as e:  # noqa: BLE001 — must wake every waiter
+            for _pairs, slot in batch:
+                slot["err"] = e
+            self.cond.notify_all()
+            raise
         self.flushes += 1
         i = 0
         for pairs, slot in batch:

@@ -76,6 +76,29 @@ def test_search_distributed_equals_driver_planned(index, queries, oracle, method
             assert gs == pytest.approx(ws, abs=1e-6)
 
 
+def test_shard_subset_union_equals_full_search(spark, index, queries):
+    # shard-parallel serving: per-subset top-k's union + re-rank == global
+    # top-k (disjoint doc ranges per shard)
+    from pyspark.sql import Window
+
+    full = _collect_runs(search(index, queries, k=10, method="wand"))
+    parts = [search(index, queries, k=10, method="wand", shards=[0, 2]),
+             search(index, queries, k=10, method="wand", shards=[1, 3])]
+    u = parts[0].unionByName(parts[1])
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("docid"))
+    merged = (
+        u.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    )
+    got = _collect_runs(merged)
+    assert got == full
+
+
+def test_search_distributed_chunked_equals_unchunked(index, queries):
+    a = _collect_runs(search_distributed(index, queries, k=10, method="exhaustive"))
+    b = _collect_runs(search_distributed(index, queries, k=10, method="exhaustive", query_chunks=3))
+    assert a == b
+
+
 def test_wand_equals_exhaustive_large_k(index, queries):
     a = _collect_runs(search(index, queries, k=50, method="exhaustive"))
     b = _collect_runs(search(index, queries, k=50, method="wand"))

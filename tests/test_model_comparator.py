@@ -76,6 +76,22 @@ def test_engine_batched_equals_sequential(method):
     )
 
 
+def test_engine_model_error_propagates_no_hang():
+    class BoomModel:
+        def score_batch(self, pairs):
+            raise RuntimeError("boom")
+
+    engine = _BatchEngine(BoomModel(), batch_size=4)
+    tasks = []
+    for i in range(3):
+        def mk(i=i):
+            cmp = ModelComparator("m", fake_model_factory, dispatch=engine.request)
+            return rerank_local("setwise.heapsort", _mk_items(f"q{i}", n=6), "q", cmp, k=3)
+        tasks.append(mk)
+    with pytest.raises(RuntimeError, match="boom"):
+        engine.run(tasks)  # every waiter must wake; no deadlocked join
+
+
 def test_pointwise_model_scorer_matches_direct(spark):
     from llm_rankers_spark.operators.pointwise import model_scorer, pointwise_rerank
 
