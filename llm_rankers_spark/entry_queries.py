@@ -140,6 +140,35 @@ def q_bm25_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming-segment search, oracle-checked: the corpus split into
+    two segments (doc_id parity) searched with GLOBAL cross-segment stats
+    (streaming/index_stream.search_segments — Lucene IndexSearcher
+    semantics) must equal the monolithic index, i.e. the same BM25 oracle."""
+    import json as _json
+
+    from llm_rankers_spark.streaming import index_stream as stream_ops
+
+    docs = driver_documents(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"llmrs_entry_segs_{tag}")
+    os.makedirs(root, exist_ok=True)
+    for part in (0, 1):
+        seg = docs.filter(F.pmod(F.col("docid").cast("long"), F.lit(2)) == part)
+        build_index(
+            seg.select("docid", "content", "content_sha256"),
+            os.path.join(root, f"segment_{part:05d}"),
+            tokenizer_mode="simple", num_shards=2, resume=True,
+        )
+    manifest = {"segments": ["segment_00000", "segment_00001"], "epochs": [0, 1]}
+    with open(os.path.join(root, "_segments.json"), "w") as f:
+        _json.dump(manifest, f)
+    res = stream_ops.search_segments(spark, root, _queries_df(spark), k=10)
+    return res.select(
+        "qid", "docid", F.col("rank").cast("long").alias("rank"), F.round("score", 4).alias("score")
+    )
+
+
 def q_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 large-batch twin: the fully-distributed query plan (cogrouped
     (qid, term, w) DataFrame, no queries.collect — bm25.search_distributed);
@@ -678,6 +707,33 @@ SELECT qid, vec_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5
 """
 
 
+def q_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (labels the LSH path): cos >= 0.5 over
+    the first 120 vectors — ~7k candidate pairs, all-pairs is the point."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 120)
+        .select("vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"))
+    )
+    out = sim_ops.near_duplicate_pairs_exact(emb, threshold=0.5)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cos", 4).alias("cos"),
+    )
+
+
+SQL_NEAR_DUP = """
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings WHERE vec_id < 120),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         list_dot_product(l.v, r.v) / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) AS cos
+  FROM e l CROSS JOIN e r WHERE l.vec_id < r.vec_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(cos, 4) AS cos FROM pairs WHERE cos >= 0.5
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return ts_ops.language_id(d, content_col="text").select(
@@ -833,6 +889,7 @@ REGISTRY: dict[str, tuple] = {
     "s5_s6_bm25_wand_topk": (q_bm25_wand, BM25_ORACLE_SQL),
     "s6_bm25_dataframe_topk": (q_bm25_dataframe, BM25_ORACLE_SQL),
     "s6_bm25_distributed_topk": (q_bm25_distributed, BM25_ORACLE_SQL),
+    "s28_bm25_segment_search": (q_bm25_segments, BM25_ORACLE_SQL),
     "t4_rerank_batched_model": (q_setwise_heapsort_batched_model, SQL_TOPK_ASSEMBLY),
     "f3_hits_cap": (q_hits_cap, SQL_HITS_CAP),
     "f4_excluded_filter": (q_excluded_filter, SQL_EXCLUDED),
@@ -853,6 +910,7 @@ REGISTRY: dict[str, tuple] = {
     "text_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "text_language_id": (q_lang_id, _sql_lang_id()),
     "sim_cosine_topk": (q_cosine_topk, SQL_COSINE),
+    "sim_near_dup_exact": (q_near_dup_exact, SQL_NEAR_DUP),
     "rel_lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "rel_top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS),
     # with a perfect transitive comparator, k bubble passes place the true

@@ -108,6 +108,31 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def near_duplicate_pairs_exact(
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs (id_a < id_b, cos ≥ threshold) by self-crossJoin —
+    the O(N²) labeled baseline that calibrates the LSH path
+    (:func:`embedding_near_duplicates` is the scale path). Oracle-checkable
+    because it has no hashing."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pairs = (
+        c.alias("l")
+        .crossJoin(c.alias("r"))
+        .filter(F.col("l.id") < F.col("r.id"))
+        .withColumn(
+            "cos",
+            _dot(F.col("l.v"), F.col("r.v")) / (_norm(F.col("l.v")) * _norm(F.col("r.v"))),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cos")
+    )
+    return pairs
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,
