@@ -245,6 +245,35 @@ def _manifest_and_meta(
     return InvertedIndex(spark, path, meta)
 
 
+def verify_index(index: InvertedIndex) -> dict:
+    """Audit the on-disk index against its lineage manifest: recompute the
+    per-shard (lists, postings, term crc) triples and the doc count, compare
+    with what the build recorded. Returns {"ok": bool, "mismatches": [...]}
+    — the check a resume/migration job runs before trusting an index dir."""
+    with open(_manifest_path(index.path)) as f:
+        manifest = json.load(f)
+    recorded = {s["shard"]: (s["lists"], s["postings"], s["term_crc"]) for s in manifest["shards"]}
+    fresh = {
+        r["shard"]: (r["lists"], r["postings"], r["term_crc"])
+        for r in index.postings.groupBy("shard")
+        .agg(
+            F.count("*").alias("lists"),
+            F.sum("n").alias("postings"),
+            F.sum(F.crc32(F.col("term"))).alias("term_crc"),
+        )
+        .collect()
+    }
+    mismatches = [
+        {"shard": s, "recorded": recorded.get(s), "actual": fresh.get(s)}
+        for s in sorted(set(recorded) | set(fresh))
+        if recorded.get(s) != fresh.get(s)
+    ]
+    n_docs = index.doc_map.count()
+    if n_docs != index.meta.n_docs:
+        mismatches.append({"shard": None, "recorded": index.meta.n_docs, "actual": n_docs})
+    return {"ok": not mismatches, "mismatches": mismatches}
+
+
 def build_index_from_forward(
     fwd: DataFrame,
     docs_meta: DataFrame,

@@ -138,6 +138,8 @@ class ModelComparator:
     requests into the cross-query pool; standalone use scores directly
     through the per-worker cached model."""
 
+    MODEL_METHOD = "score_batch"
+
     def __init__(self, model_name: str, model_factory, dispatch=None):
         self.model_name = model_name
         self.model_factory = model_factory
@@ -170,6 +172,115 @@ class ModelComparator:
         return " > ".join(f"[{i + 1}]" for i in order)
 
 
+class GenerativeModelComparator:
+    """Generation-mode comparator — the reference's actual P4/P6/P8 protocol:
+    build a prompt, ``generate_batch`` a label string, parse it
+    (pairwise.py:84-131 'Passage A'/'Passage B'; setwise.py:86-101 label
+    letter; listwise.py:91-110 '[2] > [1]' permutation).
+
+    The model contract is ``generate_batch(prompts: list[str]) ->
+    list[str]``; prompts within one comparator call go out as ONE batch, and
+    ``dispatch`` (from :class:`_BatchEngine`, via ``rerank_batched(...,
+    comparator_cls=GenerativeModelComparator)``) pools prompts across
+    queries. Malformed outputs degrade the same way the reference does:
+    unparseable setwise label → keep current best (index 0 is the parent
+    slot); inconsistent pairwise orders → a wins only if both agree;
+    permutation repair happens downstream in receive_permutation."""
+
+    LABELS = "ABCDEFGHIJKLMNOPQRSTUVW"  # setwise.py:22-23 label alphabet
+    MODEL_METHOD = "generate_batch"
+
+    def __init__(self, model_name: str, model_factory, dispatch=None):
+        self.model_name = model_name
+        self.model_factory = model_factory
+        self._dispatch = dispatch
+        self.calls = 0
+        self.prompt_items = 0
+
+    def _generate(self, prompts: list[str]) -> list[str]:
+        self.calls += 1
+        self.prompt_items += len(prompts)
+        if self._dispatch is not None:
+            return self._dispatch(prompts)
+        model = get_model(self.model_name, self.model_factory)
+        return model.generate_batch(prompts)
+
+    def best_of(self, query: str, texts: list[str]) -> int:
+        labels = ", ".join(f"Passage {self.LABELS[i]}" for i in range(len(texts)))
+        body = "\n".join(f"Passage {self.LABELS[i]}: \"{t}\"" for i, t in enumerate(texts))
+        prompt = (
+            f"Given a query \"{query}\", which of the following passages is the most "
+            f"relevant one to the query?\n\n{body}\n\nOutput only the passage label of "
+            f"the most relevant passage ({labels}):"
+        )
+        out = self._generate([prompt])[0].strip()
+        # parse: last character label (setwise.py:99-101 output[-1])
+        label = out[-1] if out else ""
+        return self.LABELS.index(label) if label in self.LABELS[: len(texts)] else 0
+
+    def pair(self, query: str, a: str, b: str) -> tuple[bool, bool]:
+        def prompt(x, y):
+            return (
+                f"Given a query \"{query}\", which of the following two passages is more "
+                f"relevant to the query?\n\nPassage A: \"{x}\"\n\nPassage B: \"{y}\"\n\n"
+                "Output Passage A or Passage B:"
+            )
+
+        # both document orders in ONE batch (pairwise.py:84-131)
+        o1, o2 = self._generate([prompt(a, b), prompt(b, a)])
+        return o1.strip().endswith("Passage A"), o2.strip().endswith("Passage B")
+
+    def permutation(self, query: str, texts: list[str]) -> str:
+        body = "\n".join(f"[{i + 1}] {t}" for i, t in enumerate(texts))
+        prompt = (
+            f"Rank the {len(texts)} passages based on their relevance to query "
+            f"\"{query}\".\n\n{body}\n\nThe output format should be [] > [], "
+            "e.g., [2] > [1]:"
+        )
+        return self._generate([prompt])[0]
+
+
+class FakeGenerativeModel:
+    """Deterministic generation stand-in: answers each prompt by recovering
+    the passages from the prompt text and ranking them with the same
+    md5-derived relevance as FakeRelevanceModel — so generative results are
+    comparable against the scoring-mode comparator in tests."""
+
+    def __init__(self):
+        self.batches = 0
+        self.items = 0
+
+    @staticmethod
+    def _rel(query: str, text: str) -> float:
+        return int(hashlib.md5(f"{query}\x1f{text}".encode()).hexdigest()[:7], 16) / float(1 << 28)
+
+    def generate_batch(self, prompts: list[str]) -> list[str]:
+        import re
+
+        self.batches += 1
+        self.items += len(prompts)
+        outs = []
+        for p in prompts:
+            q = re.search(r'query "([^"]*)"', p).group(1)
+            if "Output Passage A or Passage B" in p:
+                a = re.search(r'Passage A: "(.*?)"\n', p, re.DOTALL).group(1)
+                b = re.search(r'Passage B: "(.*?)"\n', p, re.DOTALL).group(1)
+                outs.append("Passage A" if self._rel(q, a) >= self._rel(q, b) else "Passage B")
+            elif "Output only the passage label" in p:
+                texts = re.findall(r'Passage [A-W]: "(.*?)"\n?', p, re.DOTALL)
+                best = max(range(len(texts)), key=lambda i: (self._rel(q, texts[i]), -i))
+                outs.append(f"Passage {GenerativeModelComparator.LABELS[best]}")
+            else:
+                texts = re.findall(r"\[\d+\] (.*)", p)
+                order = sorted(range(len(texts)), key=lambda i: (-self._rel(q, texts[i]), i))
+                outs.append(" > ".join(f"[{i + 1}]" for i in order))
+        return outs
+
+
+def fake_generative_factory():
+    return FakeGenerativeModel()
+
+
 # ---------------------------------------------------------------------------
 # cross-query batch engine
 # ---------------------------------------------------------------------------
@@ -186,8 +297,9 @@ class _BatchEngine:
     composition cannot change any result — only the number of model calls.
     """
 
-    def __init__(self, model, batch_size: int = 64):
+    def __init__(self, model, batch_size: int = 64, method: str = "score_batch"):
         self.model = model
+        self.call = getattr(model, method)
         self.batch_size = batch_size
         self.cond = threading.Condition()
         self.pending: list[tuple[list, dict]] = []  # (pairs, slot)
@@ -221,7 +333,7 @@ class _BatchEngine:
             return
         flat = [p for pairs, _ in batch for p in pairs]
         try:
-            scores = self.model.score_batch(flat)
+            scores = self.call(flat)
         except BaseException as e:  # noqa: BLE001 — must wake every waiter
             for _pairs, slot in batch:
                 slot["err"] = e
@@ -272,6 +384,7 @@ def rerank_batched(
     batch_size: int = 64,
     queries_per_task: int = 64,
     num_tasks: int | None = None,
+    comparator_cls: type = ModelComparator,
 ) -> DataFrame:
     """Rerank with a real (lazily-loaded, batch-scoring) model.
 
@@ -292,7 +405,7 @@ def rerank_batched(
 
     def run_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         model = get_model(model_name, model_factory)
-        engine = _BatchEngine(model, batch_size=batch_size)
+        engine = _BatchEngine(model, batch_size=batch_size, method=comparator_cls.MODEL_METHOD)
 
         tasks = []
         qids = []
@@ -301,7 +414,7 @@ def rerank_batched(
             query = g["query"].iloc[0]
 
             def mk(items=items, query=query):
-                cmp = ModelComparator(model_name, model_factory, dispatch=engine.request)
+                cmp = comparator_cls(model_name, model_factory, dispatch=engine.request)
                 return rerank_local(method, items, query, cmp, **params)
 
             tasks.append(mk)

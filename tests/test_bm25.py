@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from llm_rankers_spark.corpus import generate_corpus, generate_queries, with_docid
 from llm_rankers_spark.operators.bm25 import bm25_dataframe, search, search_distributed
-from llm_rankers_spark.operators.index_build import build_index, load_index
+from llm_rankers_spark.operators.index_build import build_index, load_index, verify_index
 
 from .oracle_bm25 import bm25_oracle
 
@@ -141,6 +141,20 @@ def test_resume_skips_rebuild(spark, corpus, index):
     )
     assert os.path.getmtime(manifest) == mtime  # untouched → skipped
     assert idx2.meta.n_docs == index.meta.n_docs
+
+
+def test_verify_index_lineage(spark, index, tmp_path):
+    assert verify_index(index)["ok"]
+    # corrupt: drop one postings parquet file -> the audit must flag it
+    import glob as _glob
+    import shutil as _shutil
+
+    broken = str(tmp_path / "broken_idx")
+    _shutil.copytree(index.path, broken)
+    victim = sorted(_glob.glob(os.path.join(broken, "postings", "bucket=*", "*.parquet")))[0]
+    os.remove(victim)
+    res = verify_index(load_index(spark, broken))
+    assert not res["ok"] and res["mismatches"]
 
 
 def test_load_index_roundtrip(spark, index):

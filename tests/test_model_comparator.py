@@ -9,9 +9,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from llm_rankers_spark.operators.model_comparator import (
+    FakeGenerativeModel,
     FakeRelevanceModel,
+    GenerativeModelComparator,
     ModelComparator,
     _BatchEngine,
+    fake_generative_factory,
     fake_model_factory,
     get_model,
     rerank_batched,
@@ -74,6 +77,46 @@ def test_engine_batched_equals_sequential(method):
     assert engine.flushes < total_calls, (
         f"no cross-query pooling: {engine.flushes} flushes for {total_calls} compare calls"
     )
+
+
+@pytest.mark.parametrize("method", ["setwise.heapsort", "pairwise.heapsort", "listwise.sliding"])
+def test_generative_comparator_matches_scoring(method):
+    # generation-mode protocol (prompt -> label string -> parse) must reach
+    # the same rankings as scoring-mode on the same hidden relevance
+    items = _mk_items("g0")
+    gen = GenerativeModelComparator("g", fake_generative_factory,
+                                    dispatch=FakeGenerativeModel().generate_batch)
+    score = ModelComparator("m", fake_model_factory,
+                            dispatch=FakeRelevanceModel().score_batch)
+    a = rerank_local(method, items, "query g0", gen, k=5)
+    b = rerank_local(method, items, "query g0", score, k=5)
+    assert a == b
+
+
+def test_generative_parse_fallbacks():
+    # unparseable setwise label -> keep parent slot (index 0), like the
+    # reference's output[-1] guard; pairwise disagreement -> a doesn't win
+    class Junk:
+        def generate_batch(self, prompts):
+            return ["no label here!" for _ in prompts]
+
+    cmp = GenerativeModelComparator("j", lambda: None, dispatch=Junk().generate_batch)
+    assert cmp.best_of("q", ["t1", "t2", "t3"]) == 0
+    w1, w2 = cmp.pair("q", "a", "b")
+    assert (w1, w2) == (False, False)
+
+
+def test_rerank_batched_generative(spark):
+    rows = []
+    for q in range(4):
+        for d, t in _mk_items(f"q{q}", n=8):
+            rows.append((f"q{q}", f"query {q}", d, int(d[-2:]) + 1, t))
+    cands = spark.createDataFrame(rows, "qid string, query string, docid string, rank int, text string")
+    gen = rerank_batched(cands, method="setwise.heapsort", model_name="gen-spark",
+                         model_factory=fake_generative_factory, k=4, queries_per_task=2,
+                         comparator_cls=GenerativeModelComparator)
+    base = rerank(cands, method="setwise.heapsort", comparator=MockComparator(relevance=_fake_rel), k=4)
+    assert {tuple(r) for r in gen.collect()} == {tuple(r) for r in base.collect()}
 
 
 def test_engine_model_error_propagates_no_hang():
