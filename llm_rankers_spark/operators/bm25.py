@@ -233,10 +233,15 @@ def _score_shard(
     b: float,
     avgdl: float,
     use_block_max: bool,
+    n_docs: float | None = None,
 ) -> pd.DataFrame:
     """Run every query's traversal over one shard's posting rows.
     ``qplan``: {qid: [(term, weight)]} — shared by the driver-planned and
-    the distributed (cogrouped) batch paths."""
+    the distributed (cogrouped) batch paths. With ``n_docs`` set, qplan
+    carries RAW qw multiplicities and the idf factor is computed here from
+    the per-row global ``df`` (layout v3) — no df-lookup job ever ran."""
+    import math
+
     pdf = pdf.sort_values("term")
     by_term = {t: g for t, g in pdf.groupby("term", sort=True)}
     outs = []
@@ -244,9 +249,13 @@ def _score_shard(
         rows = []
         for term, w in sorted(tws):
             g = by_term.get(term)
-            if g is not None:
-                for _, row in g.iterrows():
-                    rows.append((row, w))
+            if g is None:
+                continue
+            if n_docs is not None:
+                df = float(g["df"].iloc[0])
+                w = w * math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for _, row in g.iterrows():
+                rows.append((row, w))
         if not rows:
             continue
         if method == "exhaustive":
@@ -338,40 +347,53 @@ def search(
         empty = queries.sparkSession.createDataFrame([], "qid string, docid string, rank int, score double, tag string")
         return empty
     all_terms_df = queries.sparkSession.createDataFrame([(t,) for t in distinct_terms], "term string")
-    if ts_override is not None:
-        ts = ts_override.join(F.broadcast(all_terms_df), "term", "left_semi")
-    else:
-        # df from the bucket-PRUNED postings instead of the full term_stats
-        # scan: the batch's terms live in a handful of buckets, and the semi
-        # join keeps every shard row of each term, so Σn is the global df
-        ts = (
-            _prune_buckets(index.postings, meta, all_terms_df)
-            .join(F.broadcast(all_terms_df), "term", "left_semi")
-            .groupBy("term")
-            .agg(F.sum("n").alias("df"))
-        )
-    df_map = {r["term"]: int(r["df"]) for r in ts.select("term", "df").collect()}
     n_docs = float(n_override if n_override is not None else meta.n_docs)
-    # (qid → [(term, weight)]) — bounded by batch_size × query_len
+    df_in_rows = getattr(meta, "layout_version", 1) >= 3 and ts_override is None
     qplan: dict[str, list[tuple[str, float]]] = {}
-    for qid, counts in qcounts.items():
-        tws = [
-            (t, qw * math.log(1.0 + (n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5)))
-            for t, qw in counts.items()
-            if t in df_map
-        ]
-        if tws:
-            qplan[qid] = tws
-    live_terms = sorted({t for tws in qplan.values() for t, _ in tws})
-    terms_df = queries.sparkSession.createDataFrame([(t,) for t in live_terms], "term string")
+    if df_in_rows:
+        # layout v3: global df rides on every posting row, so the scorer
+        # computes idf in-task — no df-lookup job at all. qplan carries the
+        # raw qw multiplicities; absent terms simply match no rows.
+        for qid, counts in qcounts.items():
+            qplan[qid] = [(t, float(qw)) for t, qw in counts.items()]
+        terms_df = all_terms_df
+    else:
+        if ts_override is not None:
+            ts = ts_override.join(F.broadcast(all_terms_df), "term", "left_semi")
+        else:
+            # df from the bucket-PRUNED postings instead of the full
+            # term_stats scan: the batch's terms live in a handful of
+            # buckets, and the semi join keeps every shard row of each term,
+            # so Σn is the global df
+            ts = (
+                _prune_buckets(index.postings, meta, all_terms_df)
+                .join(F.broadcast(all_terms_df), "term", "left_semi")
+                .groupBy("term")
+                .agg(F.sum("n").alias("df"))
+            )
+        df_map = {r["term"]: int(r["df"]) for r in ts.select("term", "df").collect()}
+        # (qid → [(term, weight)]) — bounded by batch_size × query_len
+        for qid, counts in qcounts.items():
+            tws = [
+                (t, qw * math.log(1.0 + (n_docs - df_map[t] + 0.5) / (df_map[t] + 0.5)))
+                for t, qw in counts.items()
+                if t in df_map
+            ]
+            if tws:
+                qplan[qid] = tws
+        live_terms = sorted({t for tws in qplan.values() for t, _ in tws})
+        terms_df = queries.sparkSession.createDataFrame([(t,) for t in live_terms], "term string")
 
     postings = _prune_buckets(index.postings, meta, terms_df)
     if shards is not None:
         postings = postings.filter(F.col("shard").isin([int(s) for s in shards]))
     cand = postings.join(F.broadcast(terms_df), "term", "left_semi")
 
+    score_n_docs = n_docs if df_in_rows else None
     partial = cand.groupBy("shard").applyInPandas(
-        lambda key, pdf: _score_shard(pdf, qplan, k, method, k1, b, avgdl, use_block_max),
+        lambda key, pdf: _score_shard(
+            pdf, qplan, k, method, k1, b, avgdl, use_block_max, n_docs=score_n_docs
+        ),
         schema=RESULT_SCHEMA,
     )
 
@@ -445,17 +467,23 @@ def search_distributed(
     terms_df = qt.select("term").distinct()
     postings = _prune_buckets(index.postings, meta, terms_df)
     cand = postings.join(terms_df, "term", "left_semi")
-    if ts_override is not None:
-        ts = ts_override.select("term", "df")
+    df_in_rows = getattr(meta, "layout_version", 1) >= 3 and ts_override is None
+    if df_in_rows:
+        # layout v3: idf computed in-task from the per-row global df — the
+        # query plan is just the raw (qid, term, qw) multiplicities
+        qw = qt.select("qid", "term", F.col("qw").cast("double").alias("w"))
     else:
-        # df from the pruned candidate rows (Σn over a term's shards = its
-        # global df) — never a full term_stats scan
-        ts = cand.groupBy("term").agg(F.sum("n").alias("df"))
-    qw = qt.join(ts, "term").select(
-        "qid",
-        "term",
-        (F.col("qw") * _idf(int(n_docs))(F.col("df").cast("double"))).alias("w"),
-    )
+        if ts_override is not None:
+            ts = ts_override.select("term", "df")
+        else:
+            # df from the pruned candidate rows (Σn over a term's shards =
+            # its global df) — never a full term_stats scan
+            ts = cand.groupBy("term").agg(F.sum("n").alias("df"))
+        qw = qt.join(ts, "term").select(
+            "qid",
+            "term",
+            (F.col("qw") * _idf(int(n_docs))(F.col("df").cast("double"))).alias("w"),
+        )
 
     # replicate the (small) per-query weights to every shard and cogroup:
     # each task sees (shard's postings, full query plan) — no closures.
@@ -465,11 +493,15 @@ def search_distributed(
     )
     qw_rep = qw.crossJoin(F.broadcast(shard_ids))
 
+    score_n_docs = n_docs if df_in_rows else None
+
     def scorer(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         qplan: dict[str, list[tuple[str, float]]] = {}
         for qid, term, w in zip(rpdf["qid"], rpdf["term"], rpdf["w"]):
             qplan.setdefault(qid, []).append((term, float(w)))
-        return _score_shard(lpdf, qplan, k, method, k1, b, avgdl, use_block_max)
+        return _score_shard(
+            lpdf, qplan, k, method, k1, b, avgdl, use_block_max, n_docs=score_n_docs
+        )
 
     partial = (
         cand.groupBy("shard")

@@ -43,7 +43,9 @@ POSTINGS_SCHEMA = (
 )
 
 NUM_BUCKETS = 64
-LAYOUT_VERSION = 2
+# v3: per-term global df stored on every posting row — query batches need no
+# separate df-lookup job (it was ~30-90% of a small batch's latency)
+LAYOUT_VERSION = 3
 
 
 @dataclass
@@ -187,6 +189,12 @@ def _pack_and_write(
     postings = td_b.groupBy("shard", "bucket").applyInPandas(
         lambda key, pdf: pack(pdf), schema=POSTINGS_SCHEMA
     )
+    # global df on every row (layout v3): a window over the PACKED rows (one
+    # per term-shard, tiny next to the data) — costs one small shuffle at
+    # build, saves the per-batch df job at query time
+    from pyspark.sql import Window as _W
+
+    postings = postings.withColumn("df", F.sum("n").over(_W.partitionBy("term")))
     # hive-partitioned by term bucket: a selective query computes its terms'
     # buckets and statically prunes 63/64 of the files at the scan. Each pack
     # task holds whole (shard, bucket) groups → bounded file fan-out. shard
