@@ -12,6 +12,8 @@ from llm_rankers_spark.corpus import (
     export_corpus_json,
     export_qrels_tsv,
     export_queries_tsv,
+    generate_corpus,
+    read_code_table,
 )
 from llm_rankers_spark.functions.tokenize import truncate_col, truncate_tokens, word_clamp_col
 from llm_rankers_spark.operators.rerank import (
@@ -29,6 +31,23 @@ def _read_lines(path):
         with open(p) as f:
             out.extend(ln.rstrip("\n") for ln in f)
     return out
+
+
+def test_read_code_table_shape_and_filter(spark, tmp_path):
+    # the input_hint table shape (repo, path, commit, lang, content) loads
+    # through one entry point regardless of source (catalog table / parquet)
+    src = str(tmp_path / "code_files")
+    generate_corpus(spark, 60, seed=7).write.parquet(src)
+    docs = read_code_table(spark, src)
+    assert {"docid", "content", "content_sha256"} <= set(docs.columns)
+    assert docs.count() == 60
+    py_only = read_code_table(spark, src, lang_filter=["python"])
+    assert 0 < py_only.count() < 60
+    assert py_only.filter(~py_only.lang.isin(["python"])).count() == 0
+    with pytest.raises(ValueError, match="lacks columns"):
+        bad = str(tmp_path / "bad")
+        spark.createDataFrame([("x",)], "repo string").write.parquet(bad)
+        read_code_table(spark, bad)
 
 
 def test_export_corpus_json_rules(spark, tmp_path):
