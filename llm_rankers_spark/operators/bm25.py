@@ -421,6 +421,7 @@ def search_distributed(
     tag: str = "llm_rankers_spark",
     stats_override: tuple | None = None,
     query_chunks: int = 1,
+    prune_buckets: bool = True,
 ) -> DataFrame:
     """BM25 top-k with the query plan kept distributed end to end — the
     10^5–10^6-query batch path.
@@ -445,6 +446,7 @@ def search_distributed(
                 index,
                 queries.filter(F.pmod(F.xxhash64("qid"), F.lit(query_chunks)) == c),
                 k=k, method=method, k1=k1, b=b, tag=tag, stats_override=stats_override,
+                prune_buckets=prune_buckets,
             )
             for c in range(query_chunks)
         ]
@@ -465,7 +467,9 @@ def search_distributed(
 
     qt = query_terms(queries, meta.tokenizer_mode)  # (qid, term, qw) — UDF, no collect
     terms_df = qt.select("term").distinct()
-    postings = _prune_buckets(index.postings, meta, terms_df)
+    # static pruning costs one pass over the batch's terms; at 10^6 queries
+    # the batch touches every bucket anyway — let callers turn it off
+    postings = _prune_buckets(index.postings, meta, terms_df) if prune_buckets else index.postings
     cand = postings.join(terms_df, "term", "left_semi")
     df_in_rows = getattr(meta, "layout_version", 1) >= 3 and ts_override is None
     if df_in_rows:
