@@ -143,6 +143,32 @@ def test_resume_skips_rebuild(spark, corpus, index):
     assert idx2.meta.n_docs == index.meta.n_docs
 
 
+def test_hot_term_spreads_across_all_shards(spark, tmp_path):
+    # skew mitigation is structural: a term present in EVERY doc (the
+    # 'import'/'def' case) must shard by doc range, one sub-list per shard,
+    # so no task ever owns the whole hot posting list — and scoring over the
+    # sharded list stays oracle-exact
+    rows = [
+        (f"d{i:04d}", "common filler " + f"unique{i} token{i % 7}") for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "docid string, content string")
+    idx = build_index(docs, str(tmp_path / "hotidx"), tokenizer_mode="simple", num_shards=8)
+    hot = idx.postings.filter(F.col("term") == "common")
+    per_shard = {r["shard"]: r["n"] for r in hot.select("shard", "n").collect()}
+    assert len(per_shard) == 8, f"hot term not spread: {per_shard}"
+    assert max(per_shard.values()) <= 25  # 200 docs / 8 shards
+    assert sum(per_shard.values()) == 200  # df preserved across sub-lists
+    # correctness on the hot+rare mix
+    qs = spark.createDataFrame([("h1", "common unique42")], "qid string, query string")
+    from .oracle_bm25 import bm25_oracle
+
+    want = bm25_oracle(rows, [("h1", "common unique42")], k=5)
+    got = _collect_runs(search(idx, qs, k=5, method="wand"))
+    assert [d for d, _ in got["h1"]] == [d for d, _ in want["h1"]]
+    for (_, gs), (_, ws) in zip(got["h1"], want["h1"]):
+        assert gs == pytest.approx(ws, abs=1e-9)
+
+
 def test_verify_index_lineage(spark, index, tmp_path):
     assert verify_index(index)["ok"]
     # corrupt: drop one postings parquet file -> the audit must flag it
