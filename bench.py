@@ -12,8 +12,11 @@ north rule's N vs 4N executor criterion (no real cluster available here).
 Workload (all through the real engine paths):
   build        index build over the documents table (docs/sec)
   bm25_wand    64-query batch, block-max WAND top-10 (queries/sec)
-  bm25_sql     same batch through the declarative DataFrame plan
+  bm25_sql     same batch through the declarative DataFrame plan, reusing
+               the index's forward table (no corpus re-tokenization)
+  rerank_prep  first-stage search + doc-text attach for the rerank batch
   rerank       setwise-heapsort rerank of 20 candidates x all queries
+               (the loop itself — prep used to hide inside this number)
   minhash      MinHash signatures + LSH candidate pairs over documents
   cosine       exact cosine top-10, 32 query vectors over embeddings
 """
@@ -194,7 +197,7 @@ def run_workload(master: str, sf_dir: str, scale_only: bool = False) -> dict[str
     from pyspark.sql import functions as F
 
     from llm_rankers_spark.corpus import driver_documents
-    from llm_rankers_spark.operators.bm25 import bm25_dataframe, search, search_distributed
+    from llm_rankers_spark.operators.bm25 import bm25_dataframe_from_index, search, search_distributed
     from llm_rankers_spark.operators.dedup import minhash_lsh_candidates, minhash_signatures
     from llm_rankers_spark.operators.index_build import build_index
     from llm_rankers_spark.operators.rerank import MockComparator, rerank
@@ -217,6 +220,7 @@ def run_workload(master: str, sf_dir: str, scale_only: bool = False) -> dict[str
             idx_path,
             tokenizer_mode="simple",
             num_shards=16,
+            keep_forward=True,
         )
         times["build"] = time.perf_counter() - t0
 
@@ -225,15 +229,27 @@ def run_workload(master: str, sf_dir: str, scale_only: bool = False) -> dict[str
         times["bm25_wand"] = time.perf_counter() - t0
 
         if not scale_only:
+            # declarative plan over the index's retained forward table —
+            # the tokenizer pass was paid once at build (r2 verdict #5)
             t0 = time.perf_counter()
-            bm25_dataframe(docs, qs, k=10, mode="simple").count()
+            bm25_dataframe_from_index(idx, qs, k=10).count()
             times["bm25_sql"] = time.perf_counter() - t0
 
+            # r2 verdict #10: the old 'rerank' number was ~90% first-stage
+            # search + text join; split so each is visible (sum unchanged)
             t0 = time.perf_counter()
-            first = search(idx, qs, k=20, method="wand")
-            cands = attach_text(first, docs).join(qs, "qid").select("qid", "query", "docid", "rank", "text")
+            first = search(idx, qs, k=20, method="auto")
+            cands = (
+                attach_text(first, docs).join(qs, "qid")
+                .select("qid", "query", "docid", "rank", "text").persist()
+            )
+            cands.count()
+            times["rerank_prep"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
             rerank(cands, method="setwise.heapsort", comparator=MockComparator(), k=10, num_child=2).count()
             times["rerank"] = time.perf_counter() - t0
+            cands.unpersist()
 
             t0 = time.perf_counter()
             sigs = minhash_signatures(docs, id_col="docid", num_hashes=32, shingle_k=3)

@@ -505,13 +505,16 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select(F.col("id").alias("docid"), *cols)
 
 
-def _sql_minhash() -> str:
-    a, b = dedup_ops.minhash_params(MH_HASHES)
+def _sql_minhash_sigs(num_hashes: int, shingle_k: int) -> str:
+    """CTE chain ending in ``sigs(docid, mh0..mh{n-1})`` — the exact Spark
+    signatures (md5-derived 31-bit base hash, same (a,b) universal-hash
+    coefficients)."""
+    a, b = dedup_ops.minhash_params(num_hashes)
     p = dedup_ops._MERSENNE
-    k = MH_SHINGLE_K
-    mins = ",\n       ".join(f"min(({a[i]} * h + {b[i]}) % {p})::BIGINT AS mh{i}" for i in range(MH_HASHES))
+    k = shingle_k
+    mins = ",\n       ".join(f"min(({a[i]} * h + {b[i]}) % {p})::BIGINT AS mh{i}" for i in range(num_hashes))
     return f"""
-WITH tok AS (
+tok AS (
   SELECT lpad(doc_id::VARCHAR, 10, '0') AS docid,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
   FROM documents
@@ -523,8 +526,46 @@ sh AS (
     END)) AS shingle
   FROM tok
 ),
-hashed AS (SELECT docid, ('0x' || substr(md5(shingle), 1, 7))::BIGINT % {p} AS h FROM sh)
-SELECT docid, {mins} FROM hashed GROUP BY docid
+hashed AS (SELECT docid, ('0x' || substr(md5(shingle), 1, 7))::BIGINT % {p} AS h FROM sh),
+sigs AS (SELECT docid, {mins} FROM hashed GROUP BY docid)"""
+
+
+def _sql_minhash() -> str:
+    return f"WITH {_sql_minhash_sigs(MH_HASHES, MH_SHINGLE_K)} SELECT * FROM sigs"
+
+
+MH_LSH_HASHES = 32
+MH_LSH_BANDS = 16
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    """Oracle twin of dedup_ops.minhash_lsh_candidates(hash_fn='md5'):
+    identical-signature star grouping (rep = min docid per full-signature
+    key), reps banded with md5 band keys, self-join, union star pairs."""
+    n, bands = MH_LSH_HASHES, MH_LSH_BANDS
+    rows = n // bands
+    all_cols = ", ".join(f"mh{i}" for i in range(n))
+    band_vals = ",\n     ".join(
+        f"({bd}, md5(concat_ws(',', {', '.join(f'mh{i}' for i in range(bd * rows, (bd + 1) * rows))})))"
+        for bd in range(bands)
+    )
+    return f"""
+WITH {_sql_minhash_sigs(n, MH_SHINGLE_K)},
+keyed AS (SELECT docid, {all_cols}, md5(concat_ws(',', {all_cols})) AS sigkey FROM sigs),
+withrep AS (SELECT *, min(docid) OVER (PARTITION BY sigkey) AS rep FROM keyed),
+star AS (SELECT rep AS id_a, docid AS id_b FROM withrep WHERE docid <> rep),
+banded AS (
+  SELECT docid AS id, b.band, b.band_hash
+  FROM (SELECT * FROM withrep WHERE docid = rep) reps,
+  LATERAL (VALUES
+     {band_vals}) AS b(band, band_hash)
+),
+lsh AS (
+  SELECT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.band_hash = r.band_hash
+  WHERE l.id < r.id
+)
+SELECT DISTINCT id_a, id_b FROM (SELECT id_a, id_b FROM lsh UNION ALL SELECT id_a, id_b FROM star)
 """
 
 
@@ -819,23 +860,86 @@ SELECT o_custkey, o_orderkey, rk, round(o_totalprice, 2) AS o_totalprice FROM (
 # ---------------------------------------------------------------------------
 
 
+LSH_PLANES = 8
+LSH_TABLES = 4
+LSH_DIM = 64
+
+
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k, oracle-checkable: the planes are
+    seeded floats (similarity.hyperplanes), reproduced verbatim as literal
+    arrays in the SQL twin — DuckDB computes the identical signatures,
+    candidate buckets and re-scored ranking."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
     )
     q = emb.filter(F.col("vec_id").isin(SIM_QIDS)).select(
         F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = sim_ops.lsh_topk(emb, q, k=5, n_planes=8, n_tables=4, dim=64)
-    return out.select("qid", F.col("vec_id").cast("long").alias("vec_id"), F.col("rank").cast("long").alias("rank"))
+    out = sim_ops.lsh_topk(emb, q, k=5, n_planes=LSH_PLANES, n_tables=LSH_TABLES, dim=LSH_DIM)
+    return out.select(
+        "qid",
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 4).alias("cos"),
+    )
+
+
+def _sql_lsh_topk() -> str:
+    """Oracle twin of similarity.lsh_topk: per-table hyperplane sign
+    signatures from the SAME seeded plane matrices (emitted as SQL double
+    literals via repr — shortest-roundtrip, bit-exact), bucket join on
+    (table, sig), exact cosine re-score, top-5 per query."""
+    sig_cases = []
+    for t in range(LSH_TABLES):
+        planes = sim_ops.hyperplanes(LSH_DIM, LSH_PLANES, seed=42 + 1000 * t)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, [{', '.join(repr(float(x)) for x in p)}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        sig_cases.append(f"WHEN {t} THEN ({bits})::BIGINT")
+    sig_expr = "CASE t.tbl " + " ".join(sig_cases) + " END"
+    qid_list = ", ".join(str(i) for i in SIM_QIDS)
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+tables AS (SELECT unnest(range(0, {LSH_TABLES})) AS tbl),
+csig AS (SELECT e.vec_id, e.v, t.tbl, {sig_expr} AS sig FROM e CROSS JOIN tables t),
+qsig AS (
+  SELECT 'v' || c.vec_id AS qid, c.tbl, c.sig
+  FROM csig c WHERE c.vec_id IN ({qid_list})
+),
+qv AS (SELECT 'v' || vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qid_list})),
+cands AS (
+  SELECT DISTINCT q.qid, c.vec_id
+  FROM csig c JOIN qsig q ON c.tbl = q.tbl AND c.sig = q.sig
+),
+scored AS (
+  SELECT cands.qid, cands.vec_id,
+         list_dot_product(e.v, qv.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv.qv, qv.qv))) AS cos
+  FROM cands JOIN e ON cands.vec_id = e.vec_id JOIN qv ON cands.qid = qv.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id::BIGINT AS vec_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5
+"""
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs, fully oracle-checkable: md5-derived base
+    hashes AND md5 band keys (hash_fn='md5') so DuckDB reproduces the exact
+    banding; the xxhash64 fast path is pytest-covered (same plan shape)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"), F.col("text").alias("content")
     )
-    sigs = dedup_ops.minhash_signatures(d, num_hashes=32, shingle_k=3)
-    return dedup_ops.minhash_lsh_candidates(sigs, num_hashes=32, bands=16)
+    sigs = dedup_ops.minhash_signatures(
+        d, num_hashes=MH_LSH_HASHES, shingle_k=MH_SHINGLE_K, hash_fn="md5"
+    )
+    return dedup_ops.minhash_lsh_candidates(
+        sigs, num_hashes=MH_LSH_HASHES, bands=MH_LSH_BANDS, hash_fn="md5"
+    )
 
 
 def q_setwise_bubblesort(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,7 +1022,8 @@ REGISTRY: dict[str, tuple] = {
     # oracle as heapsort (verified: engine == oracle at sf0.01 and in pytest)
     "t5_setwise_bubblesort": (q_setwise_bubblesort, SQL_TOPK_ASSEMBLY),
     "t3_pairwise_bubblesort": (q_pairwise_bubblesort, SQL_TOPK_ASSEMBLY),
-    # rows-only (engine-hash / heuristic paths; semantics pytest-covered)
-    "sim_lsh_topk": (q_lsh_topk, None),
-    "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    # round-3: the former rows-only LSH entries, now fully oracle-checked via
+    # md5 band keys and literal-array hyperplanes (VERDICT r2 next-round #1)
+    "sim_lsh_topk": (q_lsh_topk, _sql_lsh_topk()),
+    "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
 }

@@ -224,6 +224,104 @@ def _score_rows_wand(
     )
 
 
+def _score_rows_block_max(qid: str, rows: list, k: int, k1: float, b: float, avgdl: float) -> pd.DataFrame:
+    """Vectorized block-max pruned scoring (round-2 verdict #3): exact top-k
+    without a doc-at-a-time Python loop.
+
+    The lists' block boundaries (``block_last``) partition doc-ordinal space
+    into elementary intervals; each interval is covered by at most one block
+    per list, so its score upper bound is the sum of those blocks'
+    ``weight·block_max_tfn``. Intervals are processed in upper-bound-desc
+    order: each surviving interval is scored EXHAUSTIVELY with numpy (decode
+    the ≤1 covering block per list — cached — slice, np.add.at accumulate in
+    sorted-term order, identical float op order to the exhaustive path), and
+    the traversal stops when the next interval's bound is strictly below the
+    running k-th score. Hot-term queries therefore do O(total_blocks) Python
+    iterations with numpy block work inside, instead of O(total_postings)
+    interpreter steps (the ``wand_dat`` path; both verified equal to
+    exhaustive scoring in test_wand_property.py)."""
+    lists = []
+    for row, w in rows:
+        n = int(row["n"])
+        if n == 0:
+            continue
+        bl = np.asarray(row["block_last"], dtype=np.int64)
+        ub = w * np.asarray(row["block_max_tfn"], dtype=np.float64)
+        lists.append((row, w, n, bl, ub))
+    if not lists:
+        return pd.DataFrame({"qid": pd.Series(dtype="object"), "ord": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+
+    ends = np.unique(np.concatenate([bl for _, _, _, bl, _ in lists]))
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    m = ends.size
+    interval_ub = np.zeros(m, dtype=np.float64)
+    covers = []  # per list: (block_idx per interval, valid mask)
+    for _row, _w, _n, bl, ub in lists:
+        j = np.searchsorted(bl, ends, side="left")
+        valid = j < bl.size
+        interval_ub += np.where(valid, ub[np.minimum(j, bl.size - 1)], 0.0)
+        covers.append((j, valid))
+
+    order = np.argsort(-interval_ub, kind="stable")
+    heap: list[tuple[float, int]] = []  # (score, -ord)
+    theta = -np.inf
+    cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    for pos in order:
+        p = int(pos)
+        if len(heap) == k and interval_ub[p] < theta:
+            break  # every remaining interval's bound is below the k-th score
+        parts_d, parts_c = [], []
+        for li, (row, w, n, bl, _ub) in enumerate(lists):
+            jarr, valid = covers[li]
+            if not valid[p]:
+                continue
+            key = (li, int(jarr[p]))
+            dc = cache.get(key)
+            if dc is None:
+                docs, tfs, dls = codec.unpack_block(
+                    row["docs_blob"], row["tfs_blob"], row["dls_blob"],
+                    np.asarray(row["doc_offs"], dtype=np.int64),
+                    np.asarray(row["tf_offs"], dtype=np.int64),
+                    np.asarray(row["dl_offs"], dtype=np.int64),
+                    bl, n, key[1],
+                )
+                tf = tfs.astype(np.float64)
+                contribs = w * tf / (tf + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+                dc = (docs, contribs)
+                cache[key] = dc
+            docs, contribs = dc
+            lo = int(np.searchsorted(docs, starts[p], side="left"))
+            hi = int(np.searchsorted(docs, ends[p], side="right"))
+            if lo < hi:
+                parts_d.append(docs[lo:hi])
+                parts_c.append(contribs[lo:hi])
+        if not parts_d:
+            continue
+        dd = np.concatenate(parts_d)
+        cc = np.concatenate(parts_c)
+        uniq, inv = np.unique(dd, return_inverse=True)
+        sc = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(sc, inv, cc)  # per-doc accumulation in sorted-term order
+        if len(heap) == k:
+            mask = sc >= theta  # ties can still win on the ord tie-break
+            uniq, sc = uniq[mask], sc[mask]
+        for d, s in zip(uniq.tolist(), sc.tolist()):
+            entry = (s, -d)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+                if len(heap) == k:
+                    theta = heap[0][0]
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+                theta = heap[0][0]
+    ranked = sorted(((s, -negord) for s, negord in heap), key=lambda t: (-t[0], t[1]))
+    return pd.DataFrame(
+        {"qid": qid, "ord": [o for _, o in ranked], "score": [s for s, _ in ranked]}
+    )
+
+
 def _score_shard(
     pdf: pd.DataFrame,
     qplan: dict,
@@ -239,11 +337,20 @@ def _score_shard(
     ``qplan``: {qid: [(term, weight)]} — shared by the driver-planned and
     the distributed (cogrouped) batch paths. With ``n_docs`` set, qplan
     carries RAW qw multiplicities and the idf factor is computed here from
-    the per-row global ``df`` (layout v3) — no df-lookup job ever ran."""
+    the per-row global ``df`` (layout v3) — no df-lookup job ever ran.
+
+    Methods: 'exhaustive' (decode everything), 'wand' (block-max pruned —
+    vectorized interval scoring when the baked bounds apply, else the
+    doc-at-a-time traversal with safe bounds), 'wand_dat' (always the
+    doc-at-a-time reference traversal), 'auto' (numpy-exhaustive under 64k
+    postings — decode cost beats pruning there — else same as 'wand')."""
     import math
 
     pdf = pdf.sort_values("term")
-    by_term = {t: g for t, g in pdf.groupby("term", sort=True)}
+    cols = [c for c in pdf.columns if c != "shard"]
+    by_term: dict[str, list[dict]] = {}
+    for rec in pdf[cols].to_dict("records"):  # one pass; no per-query iterrows
+        by_term.setdefault(rec["term"], []).append(rec)
     outs = []
     for qid, tws in qplan.items():
         rows = []
@@ -252,22 +359,24 @@ def _score_shard(
             if g is None:
                 continue
             if n_docs is not None:
-                df = float(g["df"].iloc[0])
+                df = float(g[0]["df"])
                 w = w * math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-            for _, row in g.iterrows():
+            for row in g:
                 rows.append((row, w))
         if not rows:
             continue
         if method == "exhaustive":
             outs.append(_score_rows_exhaustive(qid, rows, k, k1, b, avgdl))
         elif method == "auto" and sum(int(r["n"]) for r, _ in rows) < 65536:
-            # short candidate sets: vectorized numpy scoring beats the
-            # doc-at-a-time python WAND loop; results are identical
-            # (same formula, same sorted-term accumulation, same
-            # tie-break) — tested in test_bm25.
+            # short candidate sets: vectorized numpy scoring beats any
+            # pruned traversal; results are identical (same formula, same
+            # sorted-term accumulation, same tie-break) — tested in
+            # test_bm25 / test_wand_property.
             outs.append(_score_rows_exhaustive(qid, rows, k, k1, b, avgdl))
+        elif method in ("wand", "auto") and use_block_max:
+            outs.append(_score_rows_block_max(qid, rows, k, k1, b, avgdl))
         else:
-            outs.append(_score_rows_wand(qid, rows, k, k1, b, avgdl, use_block_max, safe_ub=not use_block_max))
+            outs.append(_score_rows_wand(qid, rows, k, k1, b, avgdl, use_block_max and method == "wand_dat", safe_ub=not use_block_max))
     if not outs:
         return pd.DataFrame({"qid": pd.Series(dtype="object"), "ord": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
     return pd.concat(outs, ignore_index=True)
@@ -515,21 +624,68 @@ def search_distributed(
 
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ord"))
     topk = partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # docid attach WITHOUT a broadcast hint (round-2 ADVICE): this path is
+    # built for 10^5–10^6-query batches, where topk is n_queries × k rows —
+    # force-broadcasting that ships up to ~10^7 rows to every executor. AQE
+    # picks broadcast at runtime when the actual size is small.
     return (
         index.doc_map.select("ord", "docid")
-        .join(F.broadcast(topk), "ord", "inner")
+        .join(topk, "ord", "inner")
         .select("qid", "docid", "rank", "score", F.lit(tag).alias("tag"))
     )
 
 
+def bm25_dataframe_from_index(index: InvertedIndex, queries: DataFrame, k: int = 10, round_digits: int | None = None) -> DataFrame:
+    """Declarative BM25 over an index's retained forward table
+    (build_index(keep_forward=True)) — skips the corpus re-tokenization
+    that dominated the plain :func:`bm25_dataframe` at bench scale
+    (round-2 verdict #5). Statistics come from the index meta (identical
+    doubles to the from-corpus computation: dl sums are exact integers).
+
+    Scores on doc ORDINALS and attaches docids only to the final top-k
+    rows (ordinals are docid-ordered, so the (score desc, ord asc)
+    tie-break equals the docid tie-break) — the corpus-wide ord→docid join
+    never runs."""
+    m = index.meta
+    k1, b, n_docs, avgdl = m.k1, m.b, float(m.n_docs), float(m.avgdl)
+    qt = query_terms(queries, m.tokenizer_mode)
+    td_f = index.forward_ords.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+    td_fd = td_f.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    scored = (
+        qt.join(td_fd, "term")
+        .withColumn(
+            "contrib",
+            F.col("qw")
+            * F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("qid", "ord")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    score_key = F.round(F.col("score"), round_digits) if round_digits is not None else F.col("score")
+    w = Window.partitionBy("qid").orderBy(score_key.desc(), F.asc("ord"))
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if round_digits is not None:
+        out = out.withColumn("score", F.round(F.col("score"), round_digits))
+    return (
+        index.doc_map.select("ord", "docid")
+        .join(F.broadcast(out), "ord")
+        .select("qid", "docid", "rank", "score")
+    )
+
+
 def bm25_dataframe(
-    docs: DataFrame,
+    docs: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     k1: float = codec.DEFAULT_K1,
     b: float = codec.DEFAULT_B,
     mode: str = "simple",
     round_digits: int | None = None,
+    forward: DataFrame | None = None,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """BM25 straight from the corpus with built-in DataFrame ops only
     (tokenizer UDF aside) — the Catalyst-native plan used for oracle parity.
@@ -537,7 +693,44 @@ def bm25_dataframe(
     Returns (qid, docid, rank, score); if ``round_digits`` is set the rank
     window orders by the rounded score so an ANSI-SQL oracle computing the
     same rounding is order-identical despite float summation differences.
-    """
+
+    With ``forward`` (a (docid, term, tf, dl) table, e.g.
+    ``InvertedIndex.forward``) plus ``n_docs``/``avgdl``, the corpus
+    tokenize + tf + dl + stats jobs are all skipped — every call reuses the
+    one tokenizer pass the index build already paid for. Results are
+    identical to the from-corpus path (same double stats, same contrib
+    expression; tested in test_bm25)."""
+    qt = query_terms(queries, mode)
+    if forward is not None:
+        if n_docs is None or avgdl is None:
+            raise ValueError("forward reuse requires explicit n_docs and avgdl "
+                             "(token-less docs are absent from the forward table)")
+        td = forward  # (docid, term, tf, dl) — dl rides each row, no dl join
+        # semi-join on the batch's terms BEFORE computing df: df(term) over
+        # the filtered rows equals the global df for exactly those terms,
+        # and the full-vocabulary aggregate (one corpus-wide shuffle) never
+        # runs. The window rides the same term-shuffle as the filter output.
+        td_f = td.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        td_fd = td_f.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        scored = (
+            qt.join(td_fd, "term")
+            .withColumn(
+                "contrib",
+                F.col("qw")
+                * F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf")
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+            )
+            .groupBy("qid", "docid")
+            .agg(F.sum("contrib").alias("score"))
+        )
+        score_key = F.round(F.col("score"), round_digits) if round_digits is not None else F.col("score")
+        w = Window.partitionBy("qid").orderBy(score_key.desc(), F.asc("docid"))
+        out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        if round_digits is not None:
+            out = out.withColumn("score", F.round(F.col("score"), round_digits))
+        return out.select("qid", "docid", "rank", "score")
+
     toks = docs.select("docid", F.explode(tokens_col("content", mode=mode)).alias("term"))
     td = toks.groupBy("docid", "term").agg(F.count("*").alias("tf"))
     dl = td.groupBy("docid").agg(F.sum("tf").alias("dl"))
@@ -549,13 +742,16 @@ def bm25_dataframe(
         .crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl")))
         .select("n", (F.col("sum_dl") / F.col("n")).alias("avgdl"))
     )
-    dft = td.groupBy("term").agg(F.count("*").alias("df"))
-
-    qt = query_terms(queries, mode)
+    # df only for the batch's terms (semi-join before the aggregate — the
+    # full-vocabulary df shuffle never runs; values are identical)
+    dft = (
+        td.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
 
     scored = (
         qt.join(td, "term")
-        .join(F.broadcast(dft.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")), "term")
+        .join(F.broadcast(dft), "term")
         .join(dl, "docid")
         .crossJoin(F.broadcast(stats))
         .withColumn(

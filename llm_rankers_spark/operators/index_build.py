@@ -23,7 +23,6 @@ Design for 10^12 files:
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import dataclass
@@ -33,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from llm_rankers_spark import fsio
 from llm_rankers_spark.functions import codec
 from llm_rankers_spark.functions.tokenize import term_counts_col
 
@@ -79,6 +79,33 @@ class InvertedIndex:
         return self.spark.read.parquet(os.path.join(self.path, "doc_map"))
 
     @property
+    def forward(self) -> DataFrame:
+        """(docid, term, tf, dl) forward table — the retained tokenization
+        checkpoint (build with ``keep_forward=True``) joined with doc_map
+        for the ord→docid mapping. Lets downstream consumers (e.g.
+        :func:`llm_rankers_spark.operators.bm25.bm25_dataframe`) reuse the
+        build's one tokenizer pass instead of re-tokenizing the corpus."""
+        td = self.forward_ords
+        return td.join(self.doc_map.select("ord", "docid"), "ord").select("docid", "term", "tf", "dl")
+
+    @property
+    def forward_ords(self) -> DataFrame:
+        """(ord, term, tf, dl) forward table keyed by doc ORDINAL — the
+        docid-free variant consumers use when they only attach docids to a
+        final top-k (ordinal order == docid order, so tie-breaks agree)."""
+        td_path = os.path.join(self.path, "_td_checkpoint")
+        if not fsio.exists(td_path):
+            raise FileNotFoundError(
+                f"no forward checkpoint at {td_path}: build the index with "
+                "keep_forward=True to retain it"
+            )
+        return (
+            self.spark.read.parquet(td_path)
+            .filter(F.col("tf") > 0)
+            .select("ord", "term", "tf", "dl")
+        )
+
+    @property
     def term_stats(self) -> DataFrame:
         """(term, df) derived from the postings themselves: df = Σ over
         shards of the per-shard posting count ``n``. No separate table —
@@ -105,18 +132,20 @@ def input_fingerprint(docs: DataFrame) -> str:
 
 
 def load_index(spark: SparkSession, path: str) -> InvertedIndex:
-    with open(_meta_path(path)) as f:
-        meta = IndexMeta(**json.load(f))
+    meta = IndexMeta(**fsio.read_json(_meta_path(path)))
     return InvertedIndex(spark, path, meta)
 
 
 def _slim_ordinals(
     docs_slim: DataFrame, extra_cols: tuple[tuple[str, str], ...] = ()
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame]:
     """Dense docid-ordered ordinal assignment over a SLIM projection (docid
     [+ extra_cols]): range partition + local sort + partition-offset pass.
-    Returns (ords_df, n_docs). The pid-count collect is metadata-sized
-    (one row per partition)."""
+    Returns (ords_df, n_docs, slim_handle). The pid-count collect is
+    metadata-sized (one row per partition). ``slim_handle`` is the persisted
+    intermediate — callers MUST unpersist it once the ords consumer has
+    materialized (round-2 ADVICE: the leak accumulated cached partitions per
+    build in long-lived sessions)."""
     n_part = max(docs_slim.sparkSession.sparkContext.defaultParallelism, 4)
     slim = (
         docs_slim.repartitionByRange(n_part, "docid")
@@ -145,11 +174,12 @@ def _slim_ordinals(
 
     extra = "".join(f", {c} {t}" for c, t in extra_cols)
     ords = slim.mapInPandas(assign_ord, schema=f"docid string{extra}, ord long")
-    return ords, sum(pid_counts.values())
+    return ords, sum(pid_counts.values()), slim
 
 
 def _pack_and_write(
-    spark: SparkSession, td: DataFrame, path: str, avgdl: float, k1: float, b: float
+    spark: SparkSession, td: DataFrame, path: str, avgdl: float, k1: float, b: float,
+    bake_df: bool = True,
 ) -> None:
     """Pack posting lists per (term, shard) and write hive-partitioned by
     term bucket. ``td``: (ord, dl, term, tf, shard) real postings only."""
@@ -189,12 +219,18 @@ def _pack_and_write(
     postings = td_b.groupBy("shard", "bucket").applyInPandas(
         lambda key, pdf: pack(pdf), schema=POSTINGS_SCHEMA
     )
-    # global df on every row (layout v3): a window over the PACKED rows (one
-    # per term-shard, tiny next to the data) — costs one small shuffle at
-    # build, saves the per-batch df job at query time
-    from pyspark.sql import Window as _W
-
-    postings = postings.withColumn("df", F.sum("n").over(_W.partitionBy("term")))
+    # global df on every row (layout v3): aggregated on the SLIM (term)
+    # projection of the PRE-pack rows (map-side-combinable count — one row
+    # per (doc, term), so count == df), then broadcast-joined onto the
+    # packed rows. Round-2 ADVICE: the previous window over the packed rows
+    # shuffled the entire blob payload by term and destroyed the
+    # per-(shard,bucket) write locality; the broadcast join shuffles
+    # nothing. Scale bound: the df table is vocabulary-sized (~40 B/term —
+    # ~400 MB at 10^7 terms); beyond that, build with bake_df=False
+    # (layout v2: query paths fall back to a per-batch df job).
+    if bake_df:
+        df_tbl = td.groupBy("term").agg(F.count("*").alias("df"))
+        postings = postings.join(F.broadcast(df_tbl), "term")
     # hive-partitioned by term bucket: a selective query computes its terms'
     # buckets and statically prunes 63/64 of the files at the scan. Each pack
     # task holds whole (shard, bucket) groups → bounded file fan-out. shard
@@ -214,6 +250,7 @@ def _manifest_and_meta(
     tokenizer_mode: str,
     k1: float,
     b: float,
+    layout_version: int = LAYOUT_VERSION,
 ) -> InvertedIndex:
     shard_stats = (
         spark.read.parquet(os.path.join(path, "postings"))
@@ -233,8 +270,7 @@ def _manifest_and_meta(
         ],
         "input_fingerprint": fp,
     }
-    with open(_manifest_path(path), "w") as f:
-        json.dump(manifest, f, indent=1)
+    fsio.write_json(_manifest_path(path), manifest)
 
     meta = IndexMeta(
         n_docs=n_docs,
@@ -246,10 +282,9 @@ def _manifest_and_meta(
         b=b,
         input_fingerprint=fp,
         num_buckets=NUM_BUCKETS,
-        layout_version=LAYOUT_VERSION,
+        layout_version=layout_version,
     )
-    with open(_meta_path(path), "w") as f:
-        json.dump(meta.__dict__, f, indent=1)
+    fsio.write_json(_meta_path(path), meta.__dict__)
     return InvertedIndex(spark, path, meta)
 
 
@@ -258,8 +293,7 @@ def verify_index(index: InvertedIndex) -> dict:
     per-shard (lists, postings, term crc) triples and the doc count, compare
     with what the build recorded. Returns {"ok": bool, "mismatches": [...]}
     — the check a resume/migration job runs before trusting an index dir."""
-    with open(_manifest_path(index.path)) as f:
-        manifest = json.load(f)
+    manifest = fsio.read_json(_manifest_path(index.path))
     recorded = {s["shard"]: (s["lists"], s["postings"], s["term_crc"]) for s in manifest["shards"]}
     fresh = {
         r["shard"]: (r["lists"], r["postings"], r["term_crc"])
@@ -290,6 +324,7 @@ def build_index_from_forward(
     num_shards: int = 8,
     k1: float = codec.DEFAULT_K1,
     b: float = codec.DEFAULT_B,
+    bake_df: bool = True,
 ) -> InvertedIndex:
     """Build an index from an already-tokenized forward table — the entry
     point for segment COMPACTION (streaming/index_stream.py): merging
@@ -302,7 +337,7 @@ def build_index_from_forward(
     Docids must be unique across the input (streaming segments are
     append-only, so cross-segment duplicates indicate an upstream bug)."""
     spark = fwd.sparkSession
-    ords, n_docs = _slim_ordinals(
+    ords, n_docs, slim = _slim_ordinals(
         docs_meta.select("docid", "dl", "content_sha256"),
         extra_cols=(("dl", "long"), ("content_sha256", "string")),
     )
@@ -317,6 +352,7 @@ def build_index_from_forward(
         F.sum(F.crc32(F.col("docid"))).alias("crc"),
     )
     doc_map_out.write.mode("overwrite").parquet(os.path.join(path, "doc_map"))
+    slim.unpersist()  # ords fully materialized by the doc_map write
     doc_map_df = spark.read.parquet(os.path.join(path, "doc_map"))
     stats = obs.get
     avgdl = float(stats["sum_dl"] or 0) / n_docs if n_docs else 0.0
@@ -330,9 +366,10 @@ def build_index_from_forward(
         .withColumn("shard", (F.col("ord") / F.lit(shard_size)).cast("int"))
         .select("ord", "dl", "term", "tf", "shard")
     )
-    _pack_and_write(spark, td, path, avgdl, k1, b)
+    _pack_and_write(spark, td, path, avgdl, k1, b, bake_df=bake_df)
     return _manifest_and_meta(
-        spark, path, n_docs, avgdl, fp, num_shards, shard_size, tokenizer_mode, k1, b
+        spark, path, n_docs, avgdl, fp, num_shards, shard_size, tokenizer_mode, k1, b,
+        layout_version=LAYOUT_VERSION if bake_df else 2,
     )
 
 
@@ -344,8 +381,16 @@ def build_index(
     k1: float = codec.DEFAULT_K1,
     b: float = codec.DEFAULT_B,
     resume: bool = False,
+    keep_forward: bool = False,
+    bake_df: bool = True,
 ) -> InvertedIndex:
     """Build the index from ``docs(docid, content[, content_sha256])``.
+
+    ``keep_forward=True`` retains the tokenization checkpoint
+    (``_td_checkpoint``) so :attr:`InvertedIndex.forward` can serve the
+    (docid, term, tf, dl) table without re-tokenizing. ``bake_df=False``
+    writes layout v2 (no per-row global df — for vocabularies too large to
+    broadcast at build; query paths then run a per-batch df job).
 
     Plan shape (all shuffles are on keys we immediately exploit):
       tokenize (Arrow UDF) → ordinal assignment (range shuffle on docid)
@@ -355,12 +400,14 @@ def build_index(
     """
     spark = docs.sparkSession
 
-    if resume and os.path.exists(_meta_path(path)) and os.path.exists(_manifest_path(path)):
+    expected_layout = LAYOUT_VERSION if bake_df else 2
+    if resume and fsio.exists(_meta_path(path)) and fsio.exists(_manifest_path(path)):
         meta = load_index(spark, path).meta
         if (
             meta.input_fingerprint == input_fingerprint(docs)
             and meta.tokenizer_mode == tokenizer_mode
-            and meta.layout_version == LAYOUT_VERSION
+            and meta.layout_version == expected_layout
+            and (not keep_forward or fsio.exists(os.path.join(path, "_td_checkpoint")))
         ):
             return InvertedIndex(spark, path, meta)
 
@@ -397,7 +444,7 @@ def build_index(
     # ordinal table joins back (broadcast when it fits, hash join beyond);
     # measured: shuffling+persisting the token arrays cost a core-count-
     # independent ~15s per 100k docs, the slim pass is milliseconds.
-    ords, n_docs = _slim_ordinals(docs.select("docid"))
+    ords, n_docs, slim = _slim_ordinals(docs.select("docid"))
     _phase("slim_ordinals")
 
     shard_size = max(1, -(-n_docs // num_shards))
@@ -450,6 +497,7 @@ def build_index(
         .write.mode("overwrite")
         .parquet(td_path)
     )
+    slim.unpersist()  # ords fully materialized into the checkpoint write
     stats = obs.get
     avgdl = float(stats["sum_dl"] or 0) / n_docs if n_docs else 0.0
     fp = f"{n_docs}:{stats['crc']}"
@@ -468,14 +516,14 @@ def build_index(
     # corpus has millions of rare identifier terms, and per-group Arrow
     # overhead on millions of tiny groups dominates; bucketing amortizes it
     # while each term still packs independently inside the group.
-    _pack_and_write(spark, td, path, avgdl, k1, b)
+    _pack_and_write(spark, td, path, avgdl, k1, b, bake_df=bake_df)
     _phase("pack_write")
 
     idx = _manifest_and_meta(
-        spark, path, n_docs, avgdl, fp, num_shards, shard_size, tokenizer_mode, k1, b
+        spark, path, n_docs, avgdl, fp, num_shards, shard_size, tokenizer_mode, k1, b,
+        layout_version=expected_layout,
     )
 
-    import shutil
-
-    shutil.rmtree(td_path, ignore_errors=True)
+    if not keep_forward:
+        fsio.delete(td_path)
     return idx

@@ -92,7 +92,16 @@ def append_trec_run(run: DataFrame, path: str, tag: str = "llm_rankers_spark") -
     done: set[str] = set()
     if os.path.exists(path):
         with open(path) as f:
-            done = {ln.split(None, 1)[0] for ln in f if ln.strip()}
+            content = f.read()
+        if content and not content.endswith("\n"):
+            # a crash mid-write can truncate the final line — cut it from
+            # the file (so the append restarts cleanly) and keep its qid out
+            # of the done set (round-2 ADVICE)
+            keep = content.rfind("\n") + 1
+            with open(path, "w") as f:
+                f.write(content[:keep])
+            content = content[:keep]
+        done = {ln.split(None, 1)[0] for ln in content.split("\n") if ln.strip()}
     todo = run
     if done:
         done_df = spark.createDataFrame([(q,) for q in sorted(done)], "qid string")
@@ -106,11 +115,26 @@ def append_trec_run(run: DataFrame, path: str, tag: str = "llm_rankers_spark") -
             F.col("rank").cast("string"), F.col("score").cast("string"), F.lit(tag),
         ).alias("line"),
     ).orderBy("qid", "rank")
+    # buffer each query's lines and append them in ONE write per finished
+    # qid (the reference's per-query append granularity,
+    # Rank-R1/run_setwise.py:79-87): a crash between writes leaves whole
+    # queries, never a half-written qid that resume would wrongly skip
     new_qids: set[str] = set()
+    buf_qid: str | None = None
+    buf: list[str] = []
     with open(path, "a") as f:
+        def flush():
+            if buf:
+                f.write("".join(buf))
+                f.flush()
         for row in out.toLocalIterator():
-            f.write(row["line"] + "\n")
-            new_qids.add(row["qid"])
+            if row["qid"] != buf_qid:
+                flush()
+                buf = []
+                buf_qid = row["qid"]
+                new_qids.add(buf_qid)
+            buf.append(row["line"] + "\n")
+        flush()
     return len(new_qids)
 
 

@@ -20,14 +20,13 @@ lineage + metrics"):
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from llm_rankers_spark import fsio
 from llm_rankers_spark.operators import runs as runs_ops
 from llm_rankers_spark.operators.bm25 import search
 from llm_rankers_spark.operators.index_build import build_index
@@ -59,14 +58,12 @@ class Stage:
         self.meta_path = os.path.join(work_dir, f"_{name}_stage.json")
 
     def is_done(self, fp: str) -> bool:
-        if not (os.path.exists(self.meta_path) and os.path.exists(self.path)):
+        if not (fsio.exists(self.meta_path) and fsio.exists(self.path)):
             return False
-        with open(self.meta_path) as f:
-            return json.load(f).get("fingerprint") == fp
+        return fsio.read_json(self.meta_path).get("fingerprint") == fp
 
     def mark(self, fp: str, extra: dict | None = None) -> None:
-        with open(self.meta_path, "w") as f:
-            json.dump({"fingerprint": fp, **(extra or {})}, f)
+        fsio.write_json(self.meta_path, {"fingerprint": fp, **(extra or {})}, indent=None)
 
 
 def run_pipeline(
@@ -95,7 +92,7 @@ def run_pipeline(
     the shared engine tokenizer (F1)."""
     from llm_rankers_spark.functions.tokenize import truncate_col
 
-    os.makedirs(work_dir, exist_ok=True)
+    fsio.makedirs(work_dir)
     metrics: dict[str, float] = {}
     t_all = time.time()
 
@@ -140,14 +137,23 @@ def run_pipeline(
     # 4. rerank with per-qid resume
     comparator = comparator or MockComparator()
     st_rr = Stage(work_dir, "reranked")
-    rr_fp = q_fp + f":{ex_fp}:{rerank_method}:{rerank_k}:{passage_length}:{shuffle}"
+    rr_fp = q_fp + f":{ex_fp}:{rerank_method}:{rerank_k}:{passage_length}:{shuffle}:{query_length}"
     # the partial marker pins everything EXCEPT the query set: per-qid reuse
     # across a grown query batch is the point of resume (the reference skips
     # qids already in the run file, Rank-R1/run_setwise.py:284-302), but a
-    # changed method/k/index/exclusion set must invalidate partial output.
-    cfg_fp = f"{idx.meta.input_fingerprint}:{hits}:{ex_fp}:{rerank_method}:{rerank_k}:{passage_length}:{shuffle}"
+    # changed method/k/index/exclusion/clamp config must invalidate partial
+    # output — query_length included per round-2 ADVICE.
+    cfg_fp = (
+        f"{idx.meta.input_fingerprint}:{hits}:{ex_fp}:{rerank_method}:{rerank_k}"
+        f":{passage_length}:{shuffle}:{query_length}"
+    )
     t0 = time.time()
     partial_path = st_rr.meta_path + ".partial"
+    qids_path = st_rr.path + "_qids"  # (qid, qhash) of completed queries
+    # per-qid identity = (qid, md5(query-after-clamps)): an edited query
+    # text invalidates that qid's cached rerank even though the qid matches
+    # (round-2 ADVICE — done-qids used to be matched by qid alone)
+    qh = queries.select("qid", F.md5(F.coalesce(F.col("query"), F.lit(""))).alias("qhash"))
     if not (resume and st_rr.is_done(rr_fp)):
         cands = (
             runs_ops.attach_text(first, docs.select("docid", F.col("content")))
@@ -160,34 +166,40 @@ def run_pipeline(
             # pre-rerank candidate permutation (run.py:185-191)
             cands = shuffle_candidates(cands, how=shuffle)
         # Per-qid reuse is only sound if the existing partial output was
-        # produced under the SAME rerank fingerprint (method/k/query set) —
+        # produced under the SAME rerank fingerprint (method/k/clamps) —
         # otherwise a changed config would silently keep stale results.
         partial_ok = False
-        if resume and os.path.exists(partial_path):
+        if resume and fsio.exists(partial_path):
             try:
-                with open(partial_path) as f:
-                    partial_ok = json.load(f).get("fingerprint") == cfg_fp
+                partial_ok = fsio.read_json(partial_path).get("fingerprint") == cfg_fp
             except Exception:
                 partial_ok = False
-        done_qids = None
-        if partial_ok and os.path.exists(st_rr.path):
+        valid_qids = None
+        if partial_ok and fsio.exists(st_rr.path) and fsio.exists(qids_path):
             try:
                 existing = spark.read.parquet(st_rr.path)
-                done_qids = existing.select("qid").distinct()
+                # done rows stay valid only if their recorded query hash
+                # still matches the current text for that qid
+                valid_qids = (
+                    spark.read.parquet(qids_path)
+                    .join(qh, ["qid", "qhash"], "left_semi")
+                    .select("qid")
+                )
             except Exception:
-                existing, done_qids = None, None
-        elif os.path.exists(st_rr.path):
+                existing, valid_qids = None, None
+        elif fsio.exists(st_rr.path):
             # stale partial output from a different config: drop it
-            shutil.rmtree(st_rr.path, ignore_errors=True)
-        with open(partial_path, "w") as f:
-            json.dump({"fingerprint": cfg_fp}, f)
-        if done_qids is not None:
-            todo = cands.join(done_qids, "qid", "left_anti")
+            fsio.delete(st_rr.path)
+            fsio.delete(qids_path)
+        fsio.write_json(partial_path, {"fingerprint": cfg_fp}, indent=None)
+        if valid_qids is not None:
+            existing_keep = existing.join(valid_qids, "qid", "left_semi")
+            todo = cands.join(valid_qids, "qid", "left_anti")
             if todo.limit(1).count() > 0:
                 fresh = _dispatch_rerank(todo, rerank_method, comparator, rerank_k)
-                merged = existing.unionByName(fresh)
+                merged = existing_keep.unionByName(fresh)
             else:
-                merged = existing
+                merged = existing_keep
             # rewrite atomically so a rerun is byte-identical to a single shot
             tmp = st_rr.path + "_tmp"
             merged.write.mode("overwrite").parquet(tmp)
@@ -197,6 +209,12 @@ def run_pipeline(
             _dispatch_rerank(cands, rerank_method, comparator, rerank_k).write.mode(
                 "overwrite"
             ).parquet(st_rr.path)
+        # record (qid, qhash) for every query now present in the output —
+        # the identity future partial resumes validate against
+        reranked_now = spark.read.parquet(st_rr.path)
+        qh.join(reranked_now.select("qid").distinct(), "qid", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(qids_path)
         st_rr.mark(rr_fp)
     reranked = spark.read.parquet(st_rr.path)
     metrics["rerank_sec"] = time.time() - t0
@@ -214,7 +232,6 @@ def run_pipeline(
         metrics["ndcg_at_10"] = out["ndcg"]
 
     metrics["total_sec"] = time.time() - t_all
-    with open(os.path.join(work_dir, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=1)
+    fsio.write_json(os.path.join(work_dir, "metrics.json"), metrics)
     out["metrics"] = metrics
     return out

@@ -15,8 +15,9 @@ segments back through ``build_index`` offline.
 
 from __future__ import annotations
 
-import json
 import os
+
+from llm_rankers_spark import fsio
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -34,23 +35,20 @@ def _manifest_path(root: str) -> str:
 
 
 def list_segments(root: str) -> list[str]:
-    if not os.path.exists(_manifest_path(root)):
+    if not fsio.exists(_manifest_path(root)):
         return []
-    with open(_manifest_path(root)) as f:
-        return json.load(f)["segments"]
+    return fsio.read_json(_manifest_path(root))["segments"]
 
 
 def _register_segment(root: str, name: str, epoch: int) -> None:
     m = {"segments": [], "epochs": []}
-    if os.path.exists(_manifest_path(root)):
-        with open(_manifest_path(root)) as f:
-            m = json.load(f)
+    if fsio.exists(_manifest_path(root)):
+        m = fsio.read_json(_manifest_path(root))
     if epoch in m["epochs"]:
         return  # replayed epoch (exactly-once guard)
     m["segments"].append(name)
     m["epochs"].append(epoch)
-    with open(_manifest_path(root), "w") as f:
-        json.dump(m, f, indent=1)
+    fsio.write_json(_manifest_path(root), m)
 
 
 def start_index_stream(
@@ -64,7 +62,7 @@ def start_index_stream(
 ):
     """Stream parquet files from ``input_dir``; one segment per micro-batch.
     Returns the StreamingQuery (caller drives with processAllAvailable)."""
-    os.makedirs(root, exist_ok=True)
+    fsio.makedirs(root)
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def handle_batch(batch_df: DataFrame, epoch: int) -> None:
@@ -177,21 +175,17 @@ def compact_segments(spark: SparkSession, root: str, num_shards: int = 4, name: 
         tokenizer_mode=tokenizer_mode, num_shards=num_shards,
         k1=idxs[0].meta.k1, b=idxs[0].meta.b,
     )
-    import shutil
-
     final_path = os.path.join(root, name)
-    if os.path.exists(final_path):
-        shutil.rmtree(final_path)
-    os.rename(os.path.join(root, tmp_name), final_path)
+    if fsio.exists(final_path):
+        fsio.delete(final_path)
+    fsio.rename(os.path.join(root, tmp_name), final_path)
 
-    with open(_manifest_path(root)) as f:
-        m = json.load(f)
+    m = fsio.read_json(_manifest_path(root))
     m["segments"] = [name]
-    with open(_manifest_path(root), "w") as f:
-        json.dump(m, f, indent=1)
+    fsio.write_json(_manifest_path(root), m)
     for s in segs:
         if s != name:
-            shutil.rmtree(os.path.join(root, s), ignore_errors=True)
+            fsio.delete(os.path.join(root, s))
 
 
 def streaming_event_counts(spark: SparkSession, events_dir: str, window: str = "5 minutes") -> DataFrame:

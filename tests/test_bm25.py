@@ -231,3 +231,49 @@ def test_bm25_dataframe_matches_index_path(spark, corpus, queries, index):
         assert [d for d, _ in got[qid]] == [d for d, _ in idx_path[qid]]
         for (_, a), (_, b) in zip(got[qid], idx_path[qid]):
             assert a == pytest.approx(b, abs=1e-6)
+
+
+def test_bm25_dataframe_forward_reuse_identical(spark, corpus, queries, tmp_path):
+    # round-2 verdict #5: the forward-table path (no corpus re-tokenize)
+    # must equal the from-corpus path exactly — same docids, same scores
+    from llm_rankers_spark.operators.bm25 import bm25_dataframe_from_index
+
+    idx = build_index(
+        corpus.select("docid", "content", "content_sha256"),
+        str(tmp_path / "fwd_idx"), num_shards=4, keep_forward=True,
+    )
+    plain = _collect_runs(
+        bm25_dataframe(corpus.select("docid", "content"), queries, k=10, mode="code")
+        .withColumn("tag", F.lit("x"))
+    )
+    fwd = _collect_runs(bm25_dataframe_from_index(idx, queries, k=10).withColumn("tag", F.lit("x")))
+    # same stats and contrib expression; the per-(qid,docid) sum order can
+    # differ between the two physical plans, so scores match to float-sum
+    # reassociation (last ulp), not bit-exactly
+    assert set(plain) == set(fwd)
+    for qid in plain:
+        assert [d for d, _ in plain[qid]] == [d for d, _ in fwd[qid]]
+        for (_, a), (_, b) in zip(plain[qid], fwd[qid]):
+            assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_bake_df_false_layout_v2_searches_equal(spark, corpus, queries, tmp_path):
+    # bake_df=False writes layout v2 (no per-row df); search falls back to
+    # the per-batch df job and must produce identical rankings
+    idx2 = build_index(
+        corpus.select("docid", "content", "content_sha256"),
+        str(tmp_path / "v2_idx"), num_shards=4, bake_df=False,
+    )
+    assert idx2.meta.layout_version == 2
+    assert "df" not in idx2.postings.columns
+    got = _collect_runs(search(idx2, queries, k=10, method="wand"))
+    idx3 = build_index(
+        corpus.select("docid", "content", "content_sha256"),
+        str(tmp_path / "v3_idx"), num_shards=4,
+    )
+    want = _collect_runs(search(idx3, queries, k=10, method="wand"))
+    assert set(got) == set(want)
+    for qid in got:
+        assert [d for d, _ in got[qid]] == [d for d, _ in want[qid]]
+        for (_, a), (_, b) in zip(got[qid], want[qid]):
+            assert a == pytest.approx(b, abs=1e-9)

@@ -109,3 +109,35 @@ def test_excluded_filter_in_pipeline(spark, corpus, queries, tmp_path):
     banned = {(r["qid"], r["docid"]) for r in top.collect()}
     got = {(r["qid"], r["docid"]) for r in spark.read.parquet(out["run_path"]).collect()}
     assert not (banned & got)
+
+
+def test_changed_query_text_invalidates_that_qid(spark, corpus, queries, tmp_path):
+    # round-2 ADVICE: per-qid resume must key on (qid, query-text hash) —
+    # rerunning with an EDITED query text for an existing qid must recompute
+    # that qid instead of reusing the stale cached rerank.
+    wd = str(tmp_path / "edit")
+    run_pipeline(spark, corpus, queries, wd, hits=15, rerank_k=5, comparator=MockComparator())
+    for f in glob.glob(os.path.join(wd, "_first_stage_stage.json")):
+        os.remove(f)
+    for f in glob.glob(os.path.join(wd, "_reranked_stage.json")):
+        os.remove(f)
+    edited = queries.withColumn(
+        "query", F.when(F.col("qid") == "q0", F.lit("handler import")).otherwise(F.col("query"))
+    )
+    out_b = run_pipeline(spark, corpus, edited, wd, hits=15, rerank_k=5, comparator=MockComparator())
+    clean = run_pipeline(spark, corpus, edited, str(tmp_path / "edit_clean"),
+                         hits=15, rerank_k=5, comparator=MockComparator())
+    assert _read_trec(out_b["trec_path"]) == _read_trec(clean["trec_path"])
+
+
+def test_changed_query_length_invalidates_partial(spark, corpus, queries, tmp_path):
+    # cfg_fp must include query_length: rerunning with a different clamp
+    # must not treat old qids as done
+    wd = str(tmp_path / "qlen")
+    run_pipeline(spark, corpus, queries, wd, hits=15, rerank_k=5,
+                 comparator=MockComparator(), query_length=64)
+    out_b = run_pipeline(spark, corpus, queries, wd, hits=15, rerank_k=5,
+                         comparator=MockComparator(), query_length=1)
+    clean = run_pipeline(spark, corpus, queries, str(tmp_path / "qlen_clean"),
+                         hits=15, rerank_k=5, comparator=MockComparator(), query_length=1)
+    assert _read_trec(out_b["trec_path"]) == _read_trec(clean["trec_path"])

@@ -162,6 +162,31 @@ def test_embedding_near_duplicates(vectors):
     assert (0, 999) in got
 
 
+def test_embedding_near_duplicates_identical_group_is_linear(spark):
+    # r2 verdict: a degenerate group of identical embeddings must produce a
+    # linear STAR around the min-id representative (cos=1 so all pairs pass
+    # verification), never the O(n^2) clique — mirror of the MinHash guard.
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(16)
+    v = (v / np.linalg.norm(v)).tolist()
+    rows = [(i, v) for i in range(200)]
+    w = rng.standard_normal(16)
+    rows.append((999, (w / np.linalg.norm(w)).tolist()))  # unrelated vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_duplicates(df, threshold=0.99, n_planes=6, n_tables=3).collect()}
+    assert pairs == {(0, i) for i in range(1, 200)}  # star, linear
+
+
+def test_planes_for_corpus_sizing():
+    from llm_rankers_spark.operators.similarity import planes_for_corpus
+
+    assert planes_for_corpus(0) == 8
+    assert planes_for_corpus(10_000) == 8           # floor
+    assert planes_for_corpus(64 * (1 << 20)) == 20  # N/target = 2^20
+    assert planes_for_corpus(10**12) == 30          # ceiling
+
+
 def test_word_and_token_counts(spark):
     df = spark.createDataFrame([("hello world, foo!",)], "content string")
     r = df.select(word_count("content").alias("w"), bpe_ish_token_count("content").alias("t")).collect()[0]

@@ -154,3 +154,21 @@ def test_run_metrics(run):
     assert m["n_queries"] == 3
     assert m["avg_docs_per_query"] == pytest.approx(8.0)
     assert m["avg_top_score"] == pytest.approx(10.0)
+
+
+def test_append_trec_run_truncated_tail_recovered(spark, run, tmp_path):
+    # round-2 ADVICE: a crash can truncate the final line; resume must drop
+    # it (not parse a garbage done-qid) and rewrite that query's lines
+    path = str(tmp_path / "trunc.trec")
+    append_trec_run(run.filter(F.col("qid") == "q0"), path, tag="t")
+    with open(path) as f:
+        good = f.read()
+    with open(path, "w") as f:
+        f.write(good + "q1\tQ0\tdoc")  # half-written line, no newline
+    assert append_trec_run(run, path, tag="t") == 2  # q1 (retried) + q2
+    lines = [ln.split("\t") for ln in open(path) if ln.strip()]
+    by_qid = {}
+    for ln in lines:
+        by_qid.setdefault(ln[0], []).append(ln)
+    assert set(by_qid) == {"q0", "q1", "q2"}
+    assert [ln[3] for ln in by_qid["q1"]] == [str(i) for i in range(1, len(by_qid["q1"]) + 1)]

@@ -8,7 +8,11 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from llm_rankers_spark.functions.codec import DEFAULT_B, DEFAULT_K1, pack_postings
-from llm_rankers_spark.operators.bm25 import _score_rows_exhaustive, _score_rows_wand
+from llm_rankers_spark.operators.bm25 import (
+    _score_rows_block_max,
+    _score_rows_exhaustive,
+    _score_rows_wand,
+)
 
 
 def _row(p):
@@ -59,3 +63,8 @@ def test_wand_equals_exhaustive_random_corpora(args):
     # plain-WAND bound mode (safe_ub) must agree as well
     wd2 = _score_rows_wand("q", rows, k, DEFAULT_K1, DEFAULT_B, avgdl, use_block_max=False, safe_ub=True)
     assert wd2["ord"].tolist() == ex["ord"].tolist()
+    # the vectorized interval-pruned kernel (round-3 hot-list path) must be
+    # bit-identical too — same sorted-term accumulation order
+    bm = _score_rows_block_max("q", rows, k, DEFAULT_K1, DEFAULT_B, avgdl)
+    assert bm["ord"].tolist() == ex["ord"].tolist()
+    np.testing.assert_array_equal(bm["score"].to_numpy(), ex["score"].to_numpy())
