@@ -123,8 +123,16 @@ def emu_worker(role: str, worker_id: int, n_workers: int, input_path: str, sync_
         # too and is granularity-limited in THIS emulation (8 groups on 6
         # cores + duplicated per-batch planning), not in the engine.
         idx = load_index(spark, input_path + "_index")
-        idx.term_stats.limit(1).collect()  # warm session + python workers
-        qs_all = bench_queries(spark, n=1024)
+        # warm session + python workers + the index pages themselves: the
+        # serving model is a long-lived executor with a page-cache-resident
+        # index (cold-scan IO is a one-time cost, not per-batch)
+        idx.postings.select(F.sum(F.length("docs_blob"))).collect()
+        # batch sized so per-JVM work dominates the fixed per-batch cost
+        # (plan + job scheduling ≈ 2 s): round 3's vectorized WAND doubled
+        # single-JVM throughput, which at 1024 queries made the emulation
+        # measure overhead, not scaling
+        n_emu_q = int(os.environ.get("LLMRS_EMU_QUERIES", "4096"))
+        qs_all = bench_queries(spark, n=n_emu_q)
         qs = qs_all.filter(F.pmod(F.xxhash64("qid"), F.lit(n_workers)) == worker_id) if n_workers > 1 else qs_all
         n_rows = qs.count()
 

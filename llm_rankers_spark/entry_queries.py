@@ -169,6 +169,52 @@ def q_bm25_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 compaction, oracle-checked (round-2 verdict #9): two parity
+    segments folded into ONE via compact_segments (decode postings — never
+    re-tokenize — rebuild through build_index_from_forward), then searched.
+    Results must equal the monolithic-index BM25 oracle exactly."""
+    import json as _json
+
+    from llm_rankers_spark.streaming import index_stream as stream_ops
+
+    docs = driver_documents(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"llmrs_entry_compact_{tag}")
+    os.makedirs(root, exist_ok=True)
+    for part in (0, 1):
+        seg = docs.filter(F.pmod(F.col("docid").cast("long"), F.lit(2)) == part)
+        build_index(
+            seg.select("docid", "content", "content_sha256"),
+            os.path.join(root, f"segment_{part:05d}"),
+            tokenizer_mode="simple", num_shards=2, resume=True,
+        )
+    manifest = {"segments": ["segment_00000", "segment_00001"], "epochs": [0, 1]}
+    with open(os.path.join(root, "_segments.json"), "w") as f:
+        _json.dump(manifest, f)
+    stream_ops.compact_segments(spark, root, num_shards=4)
+    res = stream_ops.search_segments(spark, root, _queries_df(spark), k=10)
+    return res.select(
+        "qid", "docid", F.col("rank").cast("long").alias("rank"), F.round("score", 4).alias("score")
+    )
+
+
+def q_verify_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2-adjacent audit as a contract row: verify_index recomputes the
+    per-shard lineage triples against the build manifest; a fresh build must
+    audit clean (ok=true, zero mismatches)."""
+    from llm_rankers_spark.operators.index_build import verify_index
+
+    idx = _entry_index(spark, sf_dir)
+    report = verify_index(idx)
+    return spark.createDataFrame(
+        [(bool(report["ok"]), len(report["mismatches"]))], "ok boolean, n_mismatches bigint"
+    )
+
+
+SQL_VERIFY_INDEX = "SELECT true AS ok, 0::BIGINT AS n_mismatches"
+
+
 def q_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 large-batch twin: the fully-distributed query plan (cogrouped
     (qid, term, w) DataFrame, no queries.collect — bm25.search_distributed);
@@ -994,6 +1040,8 @@ REGISTRY: dict[str, tuple] = {
     "s6_bm25_dataframe_topk": (q_bm25_dataframe, BM25_ORACLE_SQL),
     "s6_bm25_distributed_topk": (q_bm25_distributed, BM25_ORACLE_SQL),
     "s28_bm25_segment_search": (q_bm25_segments, BM25_ORACLE_SQL),
+    "s28_bm25_compacted_search": (q_bm25_compacted, BM25_ORACLE_SQL),
+    "m2_verify_index": (q_verify_index, SQL_VERIFY_INDEX),
     "t4_rerank_batched_model": (q_setwise_heapsort_batched_model, SQL_TOPK_ASSEMBLY),
     "f3_hits_cap": (q_hits_cap, SQL_HITS_CAP),
     "f4_excluded_filter": (q_excluded_filter, SQL_EXCLUDED),

@@ -479,22 +479,28 @@ def build_index(
         )
         .select(
             "ord",
-            # docid/sha are only consumed from the pos==0 row (doc_map) —
-            # nulling them elsewhere cuts the checkpoint write volume by the
-            # sha64+docid width × (terms-per-doc − 1), the dominant bytes of
-            # the build's largest disk write
+            # docid/sha are only consumed from the first row of each doc
+            # (doc_map) — nulling them elsewhere cuts the checkpoint write
+            # volume by the sha64+docid width × (terms-per-doc − 1), the
+            # dominant bytes of the build's largest disk write. `pos` is
+            # narrowed to a boolean and `shard` is NOT stored at all
+            # (derivable as ord/shard_size on read) — on a shared-disk
+            # multi-executor node this write's bandwidth is the build's
+            # scaling bottleneck, so every byte counts; zstd below for the
+            # same reason.
             F.when(is_first, F.col("docid")).alias("docid"),
             F.when(is_first, F.col("content_sha256")).alias("content_sha256"),
-            "dl", "pos",
+            "dl",
+            is_first.alias("first"),
             F.col("tc.term").alias("term"), F.col("tc.tf").cast("long").alias("tf"),
         )
-        .withColumn("shard", (F.col("ord") / F.lit(shard_size)).cast("int"))
         .observe(
             obs,
-            F.sum(F.when(is_first, F.col("dl"))).alias("sum_dl"),
-            F.sum(F.when(is_first, F.crc32(F.col("docid")))).alias("crc"),
+            F.sum(F.when(F.col("first"), F.col("dl"))).alias("sum_dl"),
+            F.sum(F.when(F.col("first"), F.crc32(F.col("docid")))).alias("crc"),
         )
         .write.mode("overwrite")
+        .option("compression", "zstd")
         .parquet(td_path)
     )
     slim.unpersist()  # ords fully materialized into the checkpoint write
@@ -502,11 +508,16 @@ def build_index(
     avgdl = float(stats["sum_dl"] or 0) / n_docs if n_docs else 0.0
     fp = f"{n_docs}:{stats['crc']}"
     td_full = spark.read.parquet(td_path)
-    # tf=0 sentinel rows exist only to carry empty docs into doc_map
-    td = td_full.filter(F.col("tf") > 0).select("ord", "dl", "term", "tf", "shard")
+    # tf=0 sentinel rows exist only to carry empty docs into doc_map;
+    # shard is recomputed from ord (not stored)
+    td = (
+        td_full.filter(F.col("tf") > 0)
+        .select("ord", "dl", "term", "tf")
+        .withColumn("shard", (F.col("ord") / F.lit(shard_size)).cast("int"))
+    )
 
-    # one row per doc, no shuffle: scan the checkpoint pruned to pos==0
-    td_full.filter(F.col("pos") == 0).select("ord", "docid", "dl", "content_sha256").write.mode(
+    # one row per doc, no shuffle: scan the checkpoint pruned to first rows
+    td_full.filter(F.col("first")).select("ord", "docid", "dl", "content_sha256").write.mode(
         "overwrite"
     ).parquet(os.path.join(path, "doc_map"))
     _phase("doc_map_write_stats")

@@ -240,6 +240,284 @@ class GenerativeModelComparator:
         return self._generate([prompt])[0]
 
 
+class OpenAIGenerativeModel:
+    """P-API — the worked API-ranker example (llmrankers/setwise.py:338-399,
+    OpenAiSetwiseLlmRanker): truncate each prompt to a token budget, send a
+    chat completion per prompt, retry transient API errors. Satisfies the
+    ``generate_batch`` contract, so it plugs into
+    :class:`GenerativeModelComparator` / :class:`RankR1Comparator` and the
+    cross-query :class:`_BatchEngine` unchanged — one worker process keeps
+    ONE client (via :func:`get_model`), and batching happens above it.
+
+    Divergences from the reference, both deliberate: retries are BOUNDED
+    (the reference loops forever with sleep(5) — an infinite retry inside an
+    executor task turns one bad record into a hung stage), and truncation
+    falls back to a whitespace clamp when tiktoken is absent (the control
+    flow, not the tokenizer, is the semantics). ``transport`` is injectable
+    for tests; the default builds an OpenAI client (absent here — this
+    container has no network/openai package, so construction without a
+    transport raises with that explanation, mirroring HFCrossEncoderModel).
+    """
+
+    def __init__(self, model: str = "gpt-4o-mini", api_key: str | None = None,
+                 max_prompt_tokens: int = 4096, max_retries: int = 3,
+                 retry_sleep: float = 5.0, transport=None):
+        self.model = model
+        self.max_prompt_tokens = max_prompt_tokens
+        self.max_retries = max_retries
+        self.retry_sleep = retry_sleep
+        self.retries = 0
+        if transport is not None:
+            self._transport = transport
+        else:  # pragma: no cover - env without openai
+            try:
+                from openai import OpenAI
+            except ImportError as e:
+                raise NotImplementedError(
+                    "OpenAIGenerativeModel needs the openai package (absent in "
+                    "this container). Pass transport=callable(prompt)->str for "
+                    "tests, or run where the factory builds one client per "
+                    "executor python worker."
+                ) from e
+            client = OpenAI(api_key=api_key)
+
+            def _transport(prompt: str) -> str:
+                resp = client.chat.completions.create(
+                    model=self.model,
+                    messages=[{"role": "user", "content": prompt}],
+                    temperature=0.0,
+                )
+                return resp.choices[0].message.content
+
+            self._transport = _transport
+
+    def _truncate(self, prompt: str) -> str:
+        try:  # tiktoken truncation (setwise.py:357-360) when available
+            import tiktoken
+
+            enc = tiktoken.get_encoding("cl100k_base")
+            toks = enc.encode(prompt)
+            return enc.decode(toks[: self.max_prompt_tokens]) if len(toks) > self.max_prompt_tokens else prompt
+        except ImportError:
+            words = prompt.split(" ")
+            return " ".join(words[: self.max_prompt_tokens]) if len(words) > self.max_prompt_tokens else prompt
+
+    def generate_batch(self, prompts: list[str]) -> list[str]:
+        import time as _time
+
+        outs = []
+        for prompt in prompts:
+            prompt = self._truncate(prompt)
+            last = None
+            for attempt in range(self.max_retries + 1):
+                try:
+                    outs.append(self._transport(prompt))
+                    break
+                except Exception as e:  # noqa: BLE001 - API errors are opaque
+                    last = e
+                    self.retries += 1
+                    if attempt < self.max_retries and self.retry_sleep > 0:
+                        _time.sleep(self.retry_sleep)
+            else:
+                raise last
+        return outs
+
+
+class DuoProbPairComparator:
+    """P5 — the DuoT5 protocol (llmrankers/pairwise.py:296-318): one joint
+    prompt ``'Query: {q} Document0: {a} Document1: {b} Relevant:'`` per
+    order, the model returns P(true) for each, and document A wins iff
+    ``P(true)(A,B) > P(true)(B,A)`` (strict — the reference compares the
+    two softmaxed true-probabilities with ``>``).
+
+    Model contract: ``score_batch(items)`` where each item is a
+    ``(query, duo_prompt)`` pair and the score is P(true) of that prompt —
+    so the same per-worker cache and :class:`_BatchEngine` pooling apply
+    (both orders always travel in ONE batch, like the reference's 2-row
+    tensor). DuoT5 defines only the pairwise compare; the reference wires
+    it to heapsort only (pairwise.py:320-335) — best_of/permutation are
+    therefore protocol errors here."""
+
+    MODEL_METHOD = "score_batch"
+    PROMPT = "Query: {query} Document0: {doc1} Document1: {doc2} Relevant:"
+
+    def __init__(self, model_name: str, model_factory, dispatch=None):
+        self.model_name = model_name
+        self.model_factory = model_factory
+        self._dispatch = dispatch
+        self.calls = 0
+        self.prompt_items = 0
+
+    def _scores(self, items: list[tuple[str, str]]) -> list[float]:
+        self.calls += 1
+        self.prompt_items += len(items)
+        if self._dispatch is not None:
+            return self._dispatch(items)
+        model = get_model(self.model_name, self.model_factory)
+        return model.score_batch(items)
+
+    def pair(self, query: str, a: str, b: str) -> tuple[bool, bool]:
+        p_ab, p_ba = self._scores([
+            (query, self.PROMPT.format(query=query, doc1=a, doc2=b)),
+            (query, self.PROMPT.format(query=query, doc1=b, doc2=a)),
+        ])
+        win = p_ab > p_ba  # strict, per the reference's batch_probs[0] > [1]
+        return win, win
+
+    def best_of(self, query: str, texts: list[str]) -> int:
+        raise NotImplementedError("DuoT5 defines only the pairwise compare")
+
+    def permutation(self, query: str, texts: list[str]) -> str:
+        raise NotImplementedError("DuoT5 defines only the pairwise compare")
+
+
+class FakeDuoModel:
+    """Deterministic DuoT5 stand-in: parses Document0/Document1 from the duo
+    prompt and returns a monotone P(true) in rel(doc0) − rel(doc1), so
+    ``P(A,B) > P(B,A)  ⟺  rel(A) > rel(B)`` — duo results must equal a
+    plain scoring comparator on the same relevance (tested)."""
+
+    def __init__(self):
+        self.batches = 0
+        self.items = 0
+
+    @staticmethod
+    def _rel(text: str) -> float:
+        return int(hashlib.md5(text.encode()).hexdigest()[:7], 16) / float(1 << 28)
+
+    def score_batch(self, items: list[tuple[str, str]]) -> list[float]:
+        import math
+        import re
+
+        self.batches += 1
+        self.items += len(items)
+        outs = []
+        for _q, prompt in items:
+            m = re.search(r"Document0: (.*) Document1: (.*) Relevant:$", prompt, re.DOTALL)
+            d0, d1 = m.group(1), m.group(2)
+            outs.append(1.0 / (1.0 + math.exp(-(self._rel(d0) - self._rel(d1)))))
+        return outs
+
+
+def fake_duo_factory():
+    return FakeDuoModel()
+
+
+class RankR1Comparator(GenerativeModelComparator):
+    """P10 — the Rank-R1 reasoning setwise protocol
+    (llmrankers/setwise.py:406-553 + Rank-R1/prompts/prompt_setwise-R1.toml):
+    chat-style prompt (system message demanding ``<think>…</think>
+    <answer>…</answer>``, user message listing ``[i]: passage`` lines),
+    ``num_permutation`` shuffled copies generated per compare, each
+    completion parsed with the toml's answer pattern, votes mapped back
+    through the shuffle, majority wins.
+
+    Divergences (documented, deterministic): the reference shuffles with the
+    global RNG and breaks vote ties with random.choice — here both derive
+    from (seed, call index) so results are partition-order independent; the
+    chat template is rendered as plain ``system\\n\\nuser`` text (the real
+    template is tokenizer-specific and lives in the model payload). Parse
+    failures fall back to index 0 = parent keeps its slot, the same
+    degradation as the reference's unexpected-output path (setwise.py:546)."""
+
+    # prompt text mirrors Rank-R1/prompts/prompt_setwise-R1.toml
+    PROMPT_SYSTEM = (
+        "A conversation between User and Assistant. The user asks a question, "
+        "and the Assistant solves it. The assistant first thinks about the "
+        "reasoning process in the mind and then provides the user with the "
+        "answer. The reasoning process and answer are enclosed within <think> "
+        "</think> and <answer> </answer> tags, respectively, i.e., <think> "
+        "reasoning process here </think> <answer> answer here </answer>."
+    )
+    PROMPT_USER = (
+        'Given the query: "{query}", which of the following documents is most '
+        "relevant?\n{docs}\nAfter completing the reasoning process, please "
+        "provide only the label of the most relevant document to the query, "
+        "enclosed in square brackets, within the answer tags. For example, if "
+        "the third document is the most relevant, the answer should be: "
+        "<think> reasoning process here </think> <answer>[3]</answer>."
+    )
+    ANSWER_PATTERN = r"<think>.*?</think>\s*<answer>(.*?)</answer>"
+    DOC_PREFIX = "[{num}]: "
+    DOC_SEPARATOR = "\n"
+
+    def __init__(self, model_name: str, model_factory, dispatch=None,
+                 num_permutation: int = 1, seed: int = 929):
+        super().__init__(model_name, model_factory, dispatch)
+        self.num_permutation = num_permutation
+        self.seed = seed
+        self.compares = 0
+
+    def best_of(self, query: str, texts: list[str]) -> int:
+        import random as _random
+        import re
+
+        self.compares += 1  # seeds the per-compare shuffle RNGs
+        labels = [f"[{i + 1}]" for i in range(len(texts))]
+        batch_ref: list[list[int]] = []
+        prompts: list[str] = []
+        for p in range(self.num_permutation):
+            rng = _random.Random((self.seed, self.compares, p).__hash__())
+            order = list(range(len(texts)))
+            rng.shuffle(order)
+            batch_ref.append(order)
+            docs = self.DOC_SEPARATOR.join(
+                self.DOC_PREFIX.format(num=i + 1) + texts[order[i]] for i in range(len(order))
+            )
+            prompts.append(
+                self.PROMPT_SYSTEM + "\n\n" + self.PROMPT_USER.format(query=query, docs=docs)
+            )
+        outs = self._generate(prompts)
+        votes: list[int] = []
+        for order, completion in zip(batch_ref, outs):
+            m = re.search(self.ANSWER_PATTERN, (completion or "").lower(), re.DOTALL)
+            if not m:
+                continue
+            result = m.group(1).strip()
+            if result not in labels:
+                continue
+            votes.append(order[labels.index(result)])
+        if not votes:
+            return 0  # parent keeps its slot (unexpected-output fallback)
+        counts: dict[int, int] = {}
+        first_seen: dict[int, int] = {}
+        for i, v in enumerate(votes):
+            counts[v] = counts.get(v, 0) + 1
+            first_seen.setdefault(v, i)
+        return max(counts, key=lambda c: (counts[c], -first_seen[c]))
+
+
+class FakeReasoningModel:
+    """Deterministic Rank-R1 stand-in: recovers the ``[i]: passage`` lines
+    from the user message, ranks them by the md5 relevance and answers with
+    a ``<think>…</think> <answer>[best]</answer>`` trace."""
+
+    def __init__(self):
+        self.batches = 0
+        self.items = 0
+
+    @staticmethod
+    def _rel(query: str, text: str) -> float:
+        return int(hashlib.md5(f"{query}\x1f{text}".encode()).hexdigest()[:7], 16) / float(1 << 28)
+
+    def generate_batch(self, prompts: list[str]) -> list[str]:
+        import re
+
+        self.batches += 1
+        self.items += len(prompts)
+        outs = []
+        for p in prompts:
+            q = re.search(r'Given the query: "([^"]*)"', p).group(1)
+            texts = re.findall(r"\[\d+\]: (.*)", p)
+            best = max(range(len(texts)), key=lambda i: (self._rel(q, texts[i]), -i))
+            outs.append(f"<think> scored {len(texts)} docs </think> <answer>[{best + 1}]</answer>")
+        return outs
+
+
+def fake_reasoning_factory():
+    return FakeReasoningModel()
+
+
 class FakeGenerativeModel:
     """Deterministic generation stand-in: answers each prompt by recovering
     the passages from the prompt text and ranking them with the same

@@ -176,3 +176,151 @@ def test_rerank_batched_matches_per_qid_rerank(spark):
         cands, method="setwise.heapsort", model_factory=fake_model_factory, k=5, queries_per_task=3,
     ).select("qid").distinct().count()
     assert n_shards == 8
+
+
+def test_duo_prob_comparator_matches_scoring():
+    # P5: DuoT5 joint-prompt P(true) compare ≡ scoring comparator on the
+    # same (text-only) relevance, for every pairwise loop
+    from llm_rankers_spark.operators.model_comparator import (
+        DuoProbPairComparator,
+        FakeDuoModel,
+        fake_duo_factory,
+    )
+
+    def text_rel(_q, t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+
+    items = _mk_items("duo")
+    for method in ("pairwise.heapsort", "pairwise.bubblesort", "pairwise.allpair"):
+        duo = DuoProbPairComparator("duo", fake_duo_factory, dispatch=FakeDuoModel().score_batch)
+        mock = MockComparator(relevance=text_rel)
+        got = rerank_local(method, items, "query duo", duo, k=5)
+        want = rerank_local(method, items, "query duo", mock, k=5)
+        assert got == want, method
+    # both orders of one compare travel in ONE model batch
+    m = FakeDuoModel()
+    duo = DuoProbPairComparator("duo", fake_duo_factory, dispatch=m.score_batch)
+    duo.pair("q", "aaa", "bbb")
+    assert m.batches == 1 and m.items == 2
+    with pytest.raises(NotImplementedError):
+        duo.best_of("q", ["a", "b"])
+
+
+def test_rank_r1_comparator_matches_scoring():
+    # P10: reasoning-prompt flow (shuffled copies, <think>/<answer> parse,
+    # vote) ≡ scoring comparator on the same relevance — rels are distinct,
+    # so every permutation votes for the same doc
+    from llm_rankers_spark.operators.model_comparator import (
+        FakeReasoningModel,
+        RankR1Comparator,
+        fake_reasoning_factory,
+    )
+
+    items = _mk_items("r1")
+    for nperm in (1, 3):
+        m = FakeReasoningModel()
+        r1 = RankR1Comparator("r1", fake_reasoning_factory, dispatch=m.generate_batch,
+                              num_permutation=nperm)
+        mock = MockComparator(relevance=_fake_rel)
+        got = rerank_local("setwise.heapsort", items, "query r1", r1, k=5, num_child=3)
+        want = rerank_local("setwise.heapsort", items, "query r1", mock, k=5, num_child=3)
+        assert got == want, nperm
+        # num_permutation prompts per compare, all in one batch per call
+        assert m.items == r1.compares * nperm
+
+
+def test_rank_r1_parse_fallback_keeps_parent():
+    from llm_rankers_spark.operators.model_comparator import RankR1Comparator
+
+    class Garbage:
+        def generate_batch(self, prompts):
+            return ["no tags at all" for _ in prompts]
+
+    g = Garbage()
+    r1 = RankR1Comparator("g", lambda: g, dispatch=g.generate_batch)
+    assert r1.best_of("q", ["a", "b", "c"]) == 0
+
+
+def test_rank_r1_answer_pattern_matches_reference_trace():
+    # the toml pattern must accept a realistic completion (lowercased by the
+    # reference before matching) and reject think-only output
+    from llm_rankers_spark.operators.model_comparator import RankR1Comparator
+    import re
+
+    m = re.search(RankR1Comparator.ANSWER_PATTERN,
+                  "<think>\nDoc two mentions it.\n</think> <answer>[2]</answer>".lower(),
+                  re.DOTALL)
+    assert m and m.group(1).strip() == "[2]"
+    assert re.search(RankR1Comparator.ANSWER_PATTERN, "<think>only thoughts</think>", re.DOTALL) is None
+
+
+def test_rerank_batched_duo_and_r1(spark):
+    # both new protocols must run through the cross-query batch engine and
+    # match the per-qid MockComparator path
+    from llm_rankers_spark.operators.model_comparator import (
+        DuoProbPairComparator,
+        RankR1Comparator,
+        fake_duo_factory,
+        fake_reasoning_factory,
+    )
+
+    rows = []
+    for qi in range(4):
+        for rank, (docid, text) in enumerate(_mk_items(f"q{qi}", 10), start=1):
+            rows.append((f"q{qi}", f"query q{qi}", docid, rank, text))
+    cands = spark.createDataFrame(rows, "qid string, query string, docid string, rank int, text string")
+
+    def text_rel(_q, t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+
+    duo = rerank_batched(cands, method="pairwise.heapsort", model_name="duo_t",
+                         model_factory=fake_duo_factory, k=5, batch_size=8,
+                         queries_per_task=2, comparator_cls=DuoProbPairComparator)
+    want_duo = rerank(cands, method="pairwise.heapsort", comparator=MockComparator(relevance=text_rel), k=5)
+    assert sorted(map(tuple, duo.collect())) == sorted(map(tuple, want_duo.collect()))
+
+    r1 = rerank_batched(cands, method="setwise.heapsort", model_name="r1_t",
+                        model_factory=fake_reasoning_factory, k=5, num_child=3,
+                        batch_size=8, queries_per_task=2, comparator_cls=RankR1Comparator)
+    want_r1 = rerank(cands, method="setwise.heapsort", comparator=MockComparator(relevance=_fake_rel), k=5, num_child=3)
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, want_r1.collect()))
+
+
+def test_openai_api_ranker_worked_example():
+    # P-API (setwise.py:338-399): injectable transport, truncation, bounded
+    # retry — end-to-end through GenerativeModelComparator + a rerank loop
+    from llm_rankers_spark.operators.model_comparator import (
+        FakeGenerativeModel,
+        OpenAIGenerativeModel,
+    )
+
+    inner = FakeGenerativeModel()
+    fails = {"n": 2}
+
+    def flaky_transport(prompt: str) -> str:
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise ConnectionError("transient")
+        return inner.generate_batch([prompt])[0]
+
+    api = OpenAIGenerativeModel(transport=flaky_transport, max_retries=3, retry_sleep=0.0)
+    cmp = GenerativeModelComparator("api", lambda: api, dispatch=api.generate_batch)
+    items = _mk_items("api")
+    got = rerank_local("setwise.heapsort", items, "query api", cmp, k=5, num_child=3)
+    want = rerank_local("setwise.heapsort", items, "query api",
+                        MockComparator(relevance=_fake_rel), k=5, num_child=3)
+    assert got == want
+    assert api.retries == 2  # the two transient failures were retried
+
+    # bounded retry surfaces the error instead of hanging forever
+    def always_down(prompt):
+        raise ConnectionError("down")
+
+    dead = OpenAIGenerativeModel(transport=always_down, max_retries=1, retry_sleep=0.0)
+    with pytest.raises(ConnectionError):
+        dead.generate_batch(["x"])
+    assert dead.retries == 2  # initial + 1 retry
+
+    # whitespace-clamp truncation fallback honors the budget
+    tiny = OpenAIGenerativeModel(transport=lambda p: p, max_prompt_tokens=3, retry_sleep=0.0)
+    assert tiny.generate_batch(["a b c d e f"]) == ["a b c"]
