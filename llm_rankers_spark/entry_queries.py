@@ -1031,6 +1031,176 @@ def q_setwise_heapsort_batched_model(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# events / IVF / multimodal (round-3 breadth)
+# ---------------------------------------------------------------------------
+
+
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 batch twin of the streaming windowed aggregation: tumbling
+    5-minute windows over the events table."""
+    from llm_rankers_spark.operators.events import windowed_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_counts(ev, "5 minutes")
+    return out.select("bucket", "event_type", "n", F.round("total_value", 4).alias("total_value"))
+
+
+SQL_EVENT_WINDOWS = """
+SELECT epoch(time_bucket(INTERVAL '5 minutes', ts))::BIGINT AS bucket, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) — the applyInPandasWithState /
+    session_window shape as a one-shuffle batch plan."""
+    from llm_rankers_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "session_id",
+        F.unix_micros(F.col("start_ts").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("end_ts").cast("timestamp")).alias("end_us"),
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+  FROM ordered
+)
+SELECT user_id::BIGINT AS user_id, session_id,
+       epoch_us(min(ts))::BIGINT AS start_us, epoch_us(max(ts))::BIGINT AS end_us,
+       count(*)::BIGINT AS n_events, round(sum(value), 4) AS total_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2 (IVF): nearest-centroid cell assignment + n_probe
+    cell search. The entry uses seeded data-independent centroids
+    (similarity.random_centroids) so the oracle can embed them as literals;
+    the k-means path (similarity.ivf_centroids) is pytest-covered."""
+    cents = sim_ops.random_centroids(64, IVF_CENTROIDS, seed=42)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id").isin(SIM_QIDS)).select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = sim_ops.ivf_topk(emb, q, cents, k=5, n_probe=IVF_PROBE)
+    return out.select(
+        "qid",
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 4).alias("cos"),
+    )
+
+
+def _sql_ivf_topk() -> str:
+    cents = sim_ops.random_centroids(64, IVF_CENTROIDS, seed=42)
+
+    def sqdist(vec: str, cent: list[float]) -> str:
+        lit = ", ".join(repr(float(x)) for x in cent)
+        return f"list_sum([({vec}[i+1] - [{lit}][i+1]) ^ 2 FOR i IN range(0, 64)])"
+
+    c_dists = ", ".join(sqdist("v", cent) for cent in cents)
+    probe_union = "\n  UNION ALL\n".join(
+        f"  SELECT qid, qv, {j} AS j, {sqdist('qv', cent)} AS d FROM q"
+        for j, cent in enumerate(cents)
+    )
+    qid_list = ", ".join(str(i) for i in SIM_QIDS)
+    return f"""
+WITH e AS (SELECT vec_id, [x::DOUBLE FOR x IN embedding] AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, v, (list_position(dl, list_min(dl)) - 1) AS cid
+  FROM (SELECT vec_id, v, [{c_dists}] AS dl FROM e)
+),
+q AS (SELECT 'v' || vec_id AS qid, v AS qv FROM e WHERE vec_id IN ({qid_list})),
+qdist AS (
+{probe_union}
+),
+qprobe AS (
+  SELECT qid, qv, cid FROM (
+    SELECT qid, qv, j AS cid,
+           row_number() OVER (PARTITION BY qid ORDER BY d ASC, j ASC) AS pr
+    FROM qdist
+  ) WHERE pr <= {IVF_PROBE}
+),
+scored AS (
+  SELECT qp.qid, a.vec_id,
+         list_dot_product(a.v, qp.qv) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(qp.qv, qp.qv))) AS cos
+  FROM assigned a JOIN qprobe qp ON a.cid = qp.cid
+),
+ranked AS (
+  SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, vec_id::BIGINT AS vec_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked: documents become opaque binary
+    payloads (utf-8 bytes), the mapInPandas feature extractor runs with the
+    deterministic sha-derived fake decoder, and features are re-emitted as
+    the byte sums (×255) so float32 rounding can't flake the comparison.
+    The REAL decoder stays a stub (image/audio libs absent — documented)."""
+    from llm_rankers_spark.operators.multimodal import extract_features, fake_decoder
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("x/fake").alias("mime"),
+        F.lit(0).alias("width"), F.lit(0).alias("height"), F.lit(0).alias("duration_ms"),
+    )
+    feats = extract_features(media, decoder=fake_decoder)
+    cols = [
+        F.round(F.element_at("feature", i + 1) * 255).cast("long").alias(f"b{i}") for i in range(8)
+    ]
+    return feats.select("media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"), "sha256", *cols)
+
+
+def _sql_media_features() -> str:
+    byte = "(('0x' || substr(hx, {pos}, 2))::BIGINT)"
+    sums = []
+    for j in range(8):
+        parts = " + ".join(byte.format(pos=2 * (4 * j + i) + 1) for i in range(4))
+        sums.append(f"({parts}) AS b{j}")
+    return f"""
+WITH m AS (
+  SELECT lpad(doc_id::VARCHAR, 10, '0') AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text
+  FROM documents WHERE doc_id < 200
+),
+h AS (SELECT media_id, kind, octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS hx FROM m)
+SELECT media_id, kind, n_bytes, hx AS sha256, {", ".join(sums)} FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1074,4 +1244,10 @@ REGISTRY: dict[str, tuple] = {
     # md5 band keys and literal-array hyperplanes (VERDICT r2 next-round #1)
     "sim_lsh_topk": (q_lsh_topk, _sql_lsh_topk()),
     "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
+    # round-3 breadth: events (batch twins of the streaming shapes), IVF ANN,
+    # multimodal feature plumbing
+    "evt_windowed_counts": (q_event_windows, SQL_EVENT_WINDOWS),
+    "evt_sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "sim_ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
+    "mm_media_features": (q_media_features, _sql_media_features()),
 }

@@ -129,6 +129,94 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _sqdist(vec_col, centroid: list[float]):
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, c, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def random_centroids(dim: int, n_centroids: int, seed: int = 42) -> list[list[float]]:
+    """Seeded data-independent centroids (unit-normalized gaussians). Lower
+    recall than k-means but fully reproducible without touching data —
+    which is what makes the IVF entry DuckDB-oracle-checkable."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Driver-side deterministic k-means over a deterministic sample (first
+    ``sample`` vectors by id — swap in a stride/TABLESAMPLE for very large
+    tables). Initial centroids are the first ``n_centroids`` sampled rows;
+    empty clusters keep their previous centroid. The returned list feeds
+    :func:`ivf_topk` (and, being plain floats, an external oracle)."""
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    cents = X[:n_centroids].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents.tolist()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the ANN scale path beside
+    :func:`lsh_topk`: every corpus vector is assigned to its nearest
+    centroid (one pass, pure Catalyst expressions); each query probes its
+    ``n_probe`` nearest cells and exact-rescoring runs only inside them.
+    At 10^9+ vectors the per-query candidate set is ~n_probe/n_centroids of
+    the corpus, and the cell assignment is a one-time cost reusable across
+    batches (persist/write the assigned table).
+
+    Ties (identical distances) break to the lowest centroid index in both
+    the assignment (first argmin) and the probe ordering — matching the SQL
+    oracle exactly."""
+    n_cent = len(centroids)
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qv"))
+
+    c_d = F.array(*[_sqdist(F.col("v"), cent) for cent in centroids])
+    assigned = c.withColumn("cid", (F.array_position(c_d, F.array_min(c_d)) - 1).cast("int"))
+
+    q_d = F.array(
+        *[
+            F.struct(_sqdist(F.col("qv"), cent).alias("d"), F.lit(j).alias("j"))
+            for j, cent in enumerate(centroids)
+        ]
+    )
+    probes = (
+        q.withColumn("pd", F.explode(F.slice(F.array_sort(q_d), 1, min(n_probe, n_cent))))
+        .select("qid", "qv", F.col("pd.j").cast("int").alias("cid"))
+    )
+    cands = assigned.join(probes, "cid").select("qid", "qv", "vec_id", "v")
+    scored = cands.withColumn("cos", _dot("v", "qv") / (_norm("v") * _norm("qv"))).select("qid", "vec_id", "cos")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def near_duplicate_pairs_exact(
     corpus: DataFrame,
     threshold: float = 0.8,

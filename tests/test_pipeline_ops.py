@@ -252,3 +252,30 @@ def test_frame_sample_plan(spark):
     got = plan.groupBy("media_id").count().collect()
     want = {v["media_id"]: (v["duration_ms"] - 1) // 500 + 1 for v in vids}
     assert {r["media_id"]: r["count"] for r in got} == want
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark, vectors):
+    from llm_rankers_spark.operators.similarity import cosine_topk, ivf_topk, random_centroids
+
+    cents = random_centroids(16, 8, seed=5)
+    qrows = [("q0", vectors.filter("vec_id = 0").first()["embedding"])]
+    q = spark.createDataFrame(qrows, "qid string, qvec array<double>")
+    # probing every cell makes IVF exhaustive — must equal brute force
+    ivf = ivf_topk(vectors, q, cents, k=5, n_probe=8).orderBy("rank").collect()
+    brute = cosine_topk(vectors, q, k=5).orderBy("rank").collect()
+    assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in brute]
+    for a, b in zip(ivf, brute):
+        assert a["cos"] == pytest.approx(b["cos"], abs=1e-12)
+
+
+def test_ivf_kmeans_recalls_planted_neighbor(spark, vectors):
+    from llm_rankers_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    cents = ivf_centroids(vectors, n_centroids=4, sample=64, iters=5)
+    assert len(cents) == 4 and len(cents[0]) == 16
+    qrows = [("q0", vectors.filter("vec_id = 0").first()["embedding"])]
+    q = spark.createDataFrame(qrows, "qid string, qvec array<double>")
+    top = ivf_topk(vectors, q, cents, k=3, n_probe=2).orderBy("rank").collect()
+    ids = [r["vec_id"] for r in top]
+    # vec 0 and its planted near-dup 999 share a cell (cos > 0.999)
+    assert 0 in ids and 999 in ids
