@@ -160,6 +160,80 @@ def pack_postings(
     )
 
 
+def pack_postings_batched(
+    doc_ords: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    avgdl: float,
+    k1: float = DEFAULT_K1,
+    b: float = DEFAULT_B,
+) -> dict[str, list]:
+    """Pack MANY single-block posting lists (each ≤ BLOCK entries) in one
+    vectorized pass — byte-identical to per-list :func:`pack_postings`.
+
+    A code corpus has millions of rare identifier terms whose posting lists
+    hold a handful of entries; per-list numpy-call overhead (not the
+    encoding itself) dominates the index build there. LEB128 encodes each
+    value independently, so the concatenation of per-list blobs equals the
+    per-list slices of one whole-array encoding — three encodes per Arrow
+    batch instead of three per term.
+
+    ``doc_ords``/``tfs``/``dls`` are the concatenated lists; ``starts`` the
+    group start indices (groups contiguous, each strictly increasing).
+    Returns columns keyed like the postings schema, one list element per
+    group.
+    """
+    n_total = int(doc_ords.size)
+    doc_ords = np.ascontiguousarray(doc_ords, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:]
+    ends[-1] = n_total
+
+    deltas = np.empty(n_total, dtype=np.int64)
+    deltas[1:] = doc_ords[1:] - doc_ords[:-1]
+    deltas[starts] = doc_ords[starts]
+    interior = np.ones(n_total, dtype=bool)
+    interior[starts] = False
+    if (deltas[interior] <= 0).any():
+        raise ValueError("doc ordinals must be strictly increasing")
+
+    docs_blob, dlen = encode_varint_with_lengths(deltas)
+    tfs_blob, tlen = encode_varint_with_lengths(tfs)
+    dls_blob, llen = encode_varint_with_lengths(dls)
+
+    def byte_ranges(lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        cum = np.zeros(n_total + 1, dtype=np.int64)
+        np.cumsum(lengths, out=cum[1:])
+        return cum[starts], cum[ends]
+
+    d_lo, d_hi = byte_ranges(dlen)
+    t_lo, t_hi = byte_ranges(tlen)
+    l_lo, l_hi = byte_ranges(llen)
+
+    tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+    bmax = np.maximum.reduceat(tfn, starts)
+    last = doc_ords[ends - 1]
+    counts = ends - starts
+
+    g = starts.size
+    zero = [0]
+    return {
+        "n": [int(c) for c in counts],
+        "docs_blob": [docs_blob[d_lo[i] : d_hi[i]] for i in range(g)],
+        "tfs_blob": [tfs_blob[t_lo[i] : t_hi[i]] for i in range(g)],
+        "dls_blob": [dls_blob[l_lo[i] : l_hi[i]] for i in range(g)],
+        "block_last": [[int(last[i])] for i in range(g)],
+        "block_max_tfn": [[float(bmax[i])] for i in range(g)],
+        "doc_offs": [zero] * g,
+        "tf_offs": [zero] * g,
+        "dl_offs": [zero] * g,
+    }
+
+
 def unpack_all(p: "PackedPostings | dict") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a whole posting list → (doc_ords, tfs, dls)."""
     if isinstance(p, dict):

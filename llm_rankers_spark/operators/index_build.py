@@ -186,34 +186,55 @@ def _pack_and_write(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["term", "ord"])
-        out = {c: [] for c in (
-            "term", "shard", "bucket", "n", "docs_blob", "tfs_blob", "dls_blob",
-            "block_last", "block_max_tfn", "doc_offs", "tf_offs", "dl_offs",
-        )}
         shard = int(pdf["shard"].iloc[0])
         bucket = int(pdf["bucket"].iloc[0])
-        for term, g in pdf.groupby("term", sort=False):
-            out["bucket"].append(bucket)
-            p = codec.pack_postings(
-                g["ord"].to_numpy(np.int64),
-                g["tf"].to_numpy(np.int64),
-                g["dl"].to_numpy(np.int64),
-                avgdl=avgdl,
-                k1=k1,
-                b=b,
+        terms = pdf["term"].to_numpy()
+        ords = pdf["ord"].to_numpy(np.int64)
+        tfs = pdf["tf"].to_numpy(np.int64)
+        dls = pdf["dl"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]])
+        counts = np.diff(np.r_[starts, terms.size])
+
+        # Rare identifier terms (the vast majority in a code corpus) pack
+        # single-block lists — one vectorized pass over all of them; only
+        # multi-block lists (hot terms) take the per-list path.
+        small = counts <= codec.BLOCK
+        frames = []
+        if small.any():
+            s_starts, s_counts = starts[small], counts[small]
+            row_mask = small[np.repeat(np.arange(starts.size), counts)]
+            sub_starts = np.r_[0, np.cumsum(s_counts[:-1])]
+            cols = codec.pack_postings_batched(
+                ords[row_mask], tfs[row_mask], dls[row_mask], sub_starts,
+                avgdl=avgdl, k1=k1, b=b,
             )
-            out["term"].append(term)
-            out["shard"].append(shard)
-            out["n"].append(p.n)
-            out["docs_blob"].append(p.docs_blob)
-            out["tfs_blob"].append(p.tfs_blob)
-            out["dls_blob"].append(p.dls_blob)
-            out["block_last"].append(p.block_last.tolist())
-            out["block_max_tfn"].append(p.block_max_tfn.tolist())
-            out["doc_offs"].append(p.doc_offs.tolist())
-            out["tf_offs"].append(p.tf_offs.tolist())
-            out["dl_offs"].append(p.dl_offs.tolist())
-        return pd.DataFrame(out)
+            frames.append(pd.DataFrame({
+                "term": terms[s_starts], "shard": shard, "bucket": bucket, **cols,
+            }))
+        if (~small).any():
+            out = {c: [] for c in (
+                "term", "shard", "bucket", "n", "docs_blob", "tfs_blob", "dls_blob",
+                "block_last", "block_max_tfn", "doc_offs", "tf_offs", "dl_offs",
+            )}
+            for st, c in zip(starts[~small], counts[~small]):
+                p = codec.pack_postings(
+                    ords[st : st + c], tfs[st : st + c], dls[st : st + c],
+                    avgdl=avgdl, k1=k1, b=b,
+                )
+                out["term"].append(terms[st])
+                out["shard"].append(shard)
+                out["bucket"].append(bucket)
+                out["n"].append(p.n)
+                out["docs_blob"].append(p.docs_blob)
+                out["tfs_blob"].append(p.tfs_blob)
+                out["dls_blob"].append(p.dls_blob)
+                out["block_last"].append(p.block_last.tolist())
+                out["block_max_tfn"].append(p.block_max_tfn.tolist())
+                out["doc_offs"].append(p.doc_offs.tolist())
+                out["tf_offs"].append(p.tf_offs.tolist())
+                out["dl_offs"].append(p.dl_offs.tolist())
+            frames.append(pd.DataFrame(out))
+        return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
     td_b = td.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)))
     postings = td_b.groupBy("shard", "bucket").applyInPandas(

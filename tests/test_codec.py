@@ -90,3 +90,53 @@ def test_empty_posting():
     p = pack_postings(np.array([], dtype=np.int64), np.array([]), np.array([]), avgdl=1.0)
     o, t, l = unpack_all(p)
     assert o.size == 0 and t.size == 0 and l.size == 0
+
+
+@given(
+    st.lists(  # groups of (n_entries, gap-seed) — include exactly-BLOCK lists
+        st.tuples(st.integers(1, BLOCK), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_batched_pack_byte_identical_to_per_list(groups):
+    from llm_rankers_spark.functions.codec import pack_postings_batched
+
+    rng = np.random.default_rng(7)
+    ords_l, tfs_l, dls_l, starts = [], [], [], []
+    pos = 0
+    for n, seed in groups:
+        g = np.random.default_rng(seed)
+        ords_l.append(np.cumsum(g.integers(1, 1000, size=n, dtype=np.int64)))
+        tfs_l.append(g.integers(1, 500, size=n, dtype=np.int64))
+        dls_l.append(g.integers(1, 5000, size=n, dtype=np.int64))
+        starts.append(pos)
+        pos += n
+    ords = np.concatenate(ords_l)
+    tfs = np.concatenate(tfs_l)
+    dls = np.concatenate(dls_l)
+    got = pack_postings_batched(ords, tfs, dls, np.array(starts), avgdl=123.4)
+    for i, (n, _) in enumerate(groups):
+        want = pack_postings(ords_l[i], tfs_l[i], dls_l[i], avgdl=123.4)
+        assert got["n"][i] == want.n == n
+        assert got["docs_blob"][i] == want.docs_blob
+        assert got["tfs_blob"][i] == want.tfs_blob
+        assert got["dls_blob"][i] == want.dls_blob
+        assert got["block_last"][i] == want.block_last.tolist()
+        assert got["block_max_tfn"][i] == want.block_max_tfn.tolist()
+        assert got["doc_offs"][i] == want.doc_offs.tolist()
+        assert got["tf_offs"][i] == want.tf_offs.tolist()
+        assert got["dl_offs"][i] == want.dl_offs.tolist()
+
+
+def test_batched_pack_rejects_non_increasing_within_group():
+    from llm_rankers_spark.functions.codec import pack_postings_batched
+
+    # two groups; second group's interior delta is 0 — must raise even
+    # though the cross-group boundary (5 -> 3) is legitimately "decreasing"
+    ords = np.array([1, 5, 3, 3], dtype=np.int64)
+    ones = np.ones(4, dtype=np.int64)
+    pack_postings_batched(np.array([1, 5, 3, 9]), ones, ones, np.array([0, 2]), avgdl=10.0)
+    with pytest.raises(ValueError):
+        pack_postings_batched(ords, ones, ones, np.array([0, 2]), avgdl=10.0)
