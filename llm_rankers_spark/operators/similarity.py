@@ -172,8 +172,25 @@ def ivf_centroids(
     return cents.tolist()
 
 
-def ivf_topk(
+def ivf_assign(
     corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell assignment — pure Catalyst projection, NO
+    shuffle. Returns ``(vec_id, v, cid)``. At 10^9+ vectors this is the
+    one-time cost of IVF: write it once per corpus snapshot (ideally
+    ``.write.partitionBy("cid")``, which turns each probe into a partition-
+    pruned scan) and pass it to :func:`ivf_topk` as ``assigned=`` for every
+    subsequent query batch."""
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    c_d = F.array(*[_sqdist(F.col("v"), cent) for cent in centroids])
+    return c.withColumn("cid", (F.array_position(c_d, F.array_min(c_d)) - 1).cast("int"))
+
+
+def ivf_topk(
+    corpus: DataFrame | None,
     queries: DataFrame,
     centroids: list[list[float]],
     k: int = 10,
@@ -182,24 +199,26 @@ def ivf_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the ANN scale path beside
     :func:`lsh_topk`: every corpus vector is assigned to its nearest
     centroid (one pass, pure Catalyst expressions); each query probes its
     ``n_probe`` nearest cells and exact-rescoring runs only inside them.
     At 10^9+ vectors the per-query candidate set is ~n_probe/n_centroids of
-    the corpus, and the cell assignment is a one-time cost reusable across
-    batches (persist/write the assigned table).
+    the corpus; pass a precomputed/persisted :func:`ivf_assign` table as
+    ``assigned=`` to skip the assignment pass per batch.
 
     Ties (identical distances) break to the lowest centroid index in both
     the assignment (first argmin) and the probe ordering — matching the SQL
     oracle exactly."""
     n_cent = len(centroids)
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qv"))
 
-    c_d = F.array(*[_sqdist(F.col("v"), cent) for cent in centroids])
-    assigned = c.withColumn("cid", (F.array_position(c_d, F.array_min(c_d)) - 1).cast("int"))
+    if assigned is None:
+        if corpus is None:
+            raise ValueError("pass either corpus or assigned")
+        assigned = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
 
     q_d = F.array(
         *[

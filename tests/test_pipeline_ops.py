@@ -279,3 +279,17 @@ def test_ivf_kmeans_recalls_planted_neighbor(spark, vectors):
     ids = [r["vec_id"] for r in top]
     # vec 0 and its planted near-dup 999 share a cell (cos > 0.999)
     assert 0 in ids and 999 in ids
+
+
+def test_ivf_assigned_table_reuse(spark, vectors, tmp_path):
+    from llm_rankers_spark.operators.similarity import ivf_assign, ivf_topk, random_centroids
+
+    cents = random_centroids(16, 8, seed=5)
+    path = str(tmp_path / "ivf_cells")
+    ivf_assign(vectors, cents).write.partitionBy("cid").parquet(path)
+    assigned = spark.read.parquet(path)
+    qrows = [("q0", vectors.filter("vec_id = 0").first()["embedding"])]
+    q = spark.createDataFrame(qrows, "qid string, qvec array<double>")
+    via_table = ivf_topk(None, q, cents, k=5, n_probe=3, assigned=assigned).orderBy("rank").collect()
+    inline = ivf_topk(vectors, q, cents, k=5, n_probe=3).orderBy("rank").collect()
+    assert [(r["vec_id"], r["rank"]) for r in via_table] == [(r["vec_id"], r["rank"]) for r in inline]

@@ -14,6 +14,7 @@ from llm_rankers_spark.streaming.index_stream import (
     search_segments,
     start_index_stream,
     streaming_event_counts,
+    streaming_sessionize,
 )
 
 
@@ -127,3 +128,27 @@ def test_streaming_event_window_counts(spark):
     got = spark.sql("SELECT sum(n) AS total FROM evt_out").collect()[0]["total"]
     want = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
     assert got == want
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    from llm_rankers_spark.operators.events import sessionize
+
+    q = (
+        streaming_sessionize(spark, "/root/testdata/sf0.001", gap_minutes=30)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["start_ts"], r["end_ts"], r["n_events"], round(r["total_value"], 9))
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    want = {
+        (r["user_id"], r["start_ts"], r["end_ts"], r["n_events"], round(r["total_value"], 9))
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got == want and len(got) > 0
