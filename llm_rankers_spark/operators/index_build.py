@@ -198,7 +198,13 @@ def _pack_and_write(
         # Rare identifier terms (the vast majority in a code corpus) pack
         # single-block lists — one vectorized pass over all of them; only
         # multi-block lists (hot terms) take the per-list path.
-        small = counts <= codec.BLOCK
+        # LLMRS_PACK_BATCHED=0 forces the per-list path everywhere — a
+        # measurement escape hatch for the shared-bus scaling A/B in
+        # BENCH/BASELINE.md, not a production knob.
+        if os.environ.get("LLMRS_PACK_BATCHED", "1") == "0":
+            small = np.zeros_like(counts, dtype=bool)
+        else:
+            small = counts <= codec.BLOCK
         frames = []
         if small.any():
             s_starts, s_counts = starts[small], counts[small]
