@@ -278,6 +278,7 @@ def _manifest_and_meta(
     k1: float,
     b: float,
     layout_version: int = LAYOUT_VERSION,
+    build_metrics: dict | None = None,
 ) -> InvertedIndex:
     shard_stats = (
         spark.read.parquet(os.path.join(path, "postings"))
@@ -297,6 +298,12 @@ def _manifest_and_meta(
         ],
         "input_fingerprint": fp,
     }
+    if build_metrics:
+        # north-rule "per-partition lineage + metrics": phase wall-clocks
+        # and throughput ride the same manifest the per-shard lineage
+        # (lists/postings/term_crc) lives in, so an audit of WHAT was built
+        # and HOW LONG it took reads one file (verify_index checks both).
+        manifest["build_metrics"] = build_metrics
     fsio.write_json(_manifest_path(path), manifest)
 
     meta = IndexMeta(
@@ -443,13 +450,16 @@ def build_index(
 
     _phase_log = os.environ.get("LLMRS_BUILD_PHASE_LOG") == "1"
     _t0 = time.perf_counter()
+    _build_start = _t0
+    _phase_seconds: dict[str, float] = {}
 
     def _phase(name: str) -> None:
         nonlocal _t0
+        now = time.perf_counter()
+        _phase_seconds[name] = round(now - _t0, 3)
         if _phase_log:
-            now = time.perf_counter()
             print(f"[build-phase] {name}: {now - _t0:.1f}s", flush=True)
-            _t0 = now
+        _t0 = now
 
     # tf is counted inside the tokenizer UDF (term_counts_col): one row per
     # (doc, distinct term) comes out of the explode, so no corpus-sized
@@ -557,9 +567,15 @@ def build_index(
     _pack_and_write(spark, td, path, avgdl, k1, b, bake_df=bake_df)
     _phase("pack_write")
 
+    wall = time.perf_counter() - _build_start
     idx = _manifest_and_meta(
         spark, path, n_docs, avgdl, fp, num_shards, shard_size, tokenizer_mode, k1, b,
         layout_version=expected_layout,
+        build_metrics={
+            "phase_seconds": _phase_seconds,
+            "wall_seconds": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
+        },
     )
 
     if not keep_forward:

@@ -201,6 +201,64 @@ def streaming_event_counts(spark: SparkSession, events_dir: str, window: str = "
     return agg
 
 
+def start_streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    schema: str = "docid string, content string, content_sha256 string",
+    checkpoint: str | None = None,
+):
+    """Streaming EXACT dedup with checkpointed keyed state — the custom
+    stateful operator shape (`applyInPandasWithState`): keyed by
+    ``content_sha256``, per-key GroupState remembers whether the digest was
+    ever emitted, so duplicates are dropped across micro-batches AND across
+    restarts (the state lives in the stream checkpoint — rerunning with the
+    same checkpoint location suppresses digests already seen by earlier
+    runs, which is what makes ingest-dedup resumable).
+
+    Within one batch the keeper is the smallest docid of the group
+    (deterministic first-wins, matching ``dedup.exact_duplicates``'s
+    tie-break). At scale the state store partitions by the digest key —
+    uniformly distributed, no skew — and each key holds one boolean, so
+    state size is bounded by #distinct docs, not #events.
+
+    Appends kept rows as parquet under ``out_dir``; returns the
+    StreamingQuery (caller awaits termination)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def keep_first(key: tuple, batches, state: GroupState):
+        if state.exists:
+            return  # digest already emitted in an earlier batch/run
+        best = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[pdf["docid"].idxmin()]
+            if best is None or cand["docid"] < best["docid"]:
+                best = cand
+        if best is not None:
+            state.update((1,))
+            yield best.to_frame().T
+
+    kept = stream.groupBy("content_sha256").applyInPandasWithState(
+        keep_first,
+        outputStructType=schema,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        kept.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint or out_dir + "_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_sessionize(
     spark: SparkSession, events_dir: str, gap_minutes: int = 30, watermark: str = "60 minutes"
 ) -> DataFrame:

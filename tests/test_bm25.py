@@ -171,6 +171,13 @@ def test_hot_term_spreads_across_all_shards(spark, tmp_path):
 
 def test_verify_index_lineage(spark, index, tmp_path):
     assert verify_index(index)["ok"]
+    # build metrics ride the lineage manifest (phase walls + throughput)
+    import json as _json
+
+    with open(os.path.join(index.path, "_manifest.json")) as f:
+        m = _json.load(f)["build_metrics"]
+    assert set(m["phase_seconds"]) == {"slim_ordinals", "doc_map_write_stats", "pack_write"}
+    assert m["wall_seconds"] > 0 and m["docs_per_sec"] > 0
     # corrupt: drop one postings parquet file -> the audit must flag it
     import glob as _glob
     import shutil as _shutil

@@ -152,3 +152,33 @@ def test_streaming_sessionize_matches_batch(spark):
         for r in sessionize(ev, gap_minutes=30).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_stateful_across_restarts(spark, tmp_path):
+    from llm_rankers_spark.streaming.index_stream import start_streaming_dedup
+
+    base = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+    ck = str(tmp_path / "dd_ck")
+    rows1 = [("d1", "alpha beta"), ("d2", "alpha beta"), ("d3", "gamma")]
+    rows2 = [("d4", "alpha beta"), ("d5", "delta"), ("d0", "gamma")]
+    df1 = spark.createDataFrame(rows1, "docid string, content string").withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    df1.write.mode("overwrite").parquet(os.path.join(base, "drop1"))
+    q = start_streaming_dedup(spark, os.path.join(base, "*"), out, checkpoint=ck)
+    q.awaitTermination(120)
+    got1 = {(r["docid"], r["content"]) for r in spark.read.parquet(out).collect()}
+    # d1 < d2 → deterministic keeper for the duplicated sha
+    assert got1 == {("d1", "alpha beta"), ("d3", "gamma")}
+
+    # second drop, SAME checkpoint: cross-run duplicates (alpha beta, gamma)
+    # are suppressed by the persisted key state; only 'delta' is new
+    df2 = spark.createDataFrame(rows2, "docid string, content string").withColumn(
+        "content_sha256", F.sha2("content", 256)
+    )
+    df2.write.mode("overwrite").parquet(os.path.join(base, "drop2"))
+    q2 = start_streaming_dedup(spark, os.path.join(base, "*"), out, checkpoint=ck)
+    q2.awaitTermination(120)
+    got2 = {(r["docid"], r["content"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == got1 | {("d5", "delta")}
