@@ -1200,6 +1200,56 @@ SELECT media_id, kind, n_bytes, hx AS sha256, {", ".join(sums)} FROM h
 """
 
 
+def q_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact dedup (applyInPandasWithState), oracle-
+    checked: the documents table (plus injected duplicates, same scheme as
+    f6) is replayed as a two-drop file stream through
+    ``start_streaming_dedup``; the kept set must equal batch first-wins
+    dedup — min docid per digest — regardless of micro-batch boundaries.
+    The second drop carries the duplicates, so cross-batch suppression via
+    keyed GroupState is what's actually under test."""
+    import shutil
+
+    from llm_rankers_spark.streaming.index_stream import start_streaming_dedup
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"llmrs_entry_sdedup_{tag}")
+    out, ck, indir = (os.path.join(root, p) for p in ("out", "ck", "in"))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"),
+        F.col("text").alias("content"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+    if not os.path.exists(os.path.join(out, "_done")):
+        shutil.rmtree(root, ignore_errors=True)
+        dupes = d.filter(F.pmod(F.col("docid").cast("long"), F.lit(100)) == 0).withColumn(
+            "docid", F.concat(F.lit("dup_"), F.col("docid"))
+        )
+        d.write.parquet(os.path.join(indir, "drop1"))
+        q = start_streaming_dedup(spark, os.path.join(indir, "*"), out, checkpoint=ck)
+        q.awaitTermination(300)
+        dupes.write.parquet(os.path.join(indir, "drop2"))
+        q2 = start_streaming_dedup(spark, os.path.join(indir, "*"), out, checkpoint=ck)
+        q2.awaitTermination(300)
+        open(os.path.join(out, "_done"), "w").close()
+    return (
+        spark.read.schema("docid string, content string, content_sha256 string")
+        .parquet(out)
+        .select("docid", "content_sha256")
+    )
+
+
+SQL_DEDUP_STREAMING = """
+WITH base AS (
+  SELECT lpad(doc_id::VARCHAR, 10, '0') AS docid, text FROM documents
+  UNION ALL
+  SELECT 'dup_' || lpad(doc_id::VARCHAR, 10, '0') AS docid, text FROM documents WHERE doc_id % 100 = 0
+)
+SELECT min(docid) AS docid, sha256(text) AS content_sha256
+FROM base GROUP BY sha256(text)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1246,6 +1296,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, _sql_minhash_lsh_pairs()),
     # round-3 breadth: events (batch twins of the streaming shapes), IVF ANN,
     # multimodal feature plumbing
+    "dedup_streaming_exact": (q_dedup_streaming, SQL_DEDUP_STREAMING),
     "evt_windowed_counts": (q_event_windows, SQL_EVENT_WINDOWS),
     "evt_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sim_ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
