@@ -1220,18 +1220,29 @@ def q_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
         F.sha2(F.col("text"), 256).alias("content_sha256"),
     )
-    if not os.path.exists(os.path.join(out, "_done")):
+    # cache key = input fingerprint, so a regenerated documents table
+    # invalidates the replay instead of serving a stale kept set
+    fp_row = d.agg(F.count("*").alias("n"), F.sum(F.crc32("docid")).alias("crc")).collect()[0]
+    fp = f"{fp_row['n']}:{fp_row['crc']}"
+    done = os.path.join(out, "_done")
+    cached = open(done).read().strip() if os.path.exists(done) else None
+
+    def _await(q):
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming dedup replay timed out")
+
+    if cached != fp:
         shutil.rmtree(root, ignore_errors=True)
         dupes = d.filter(F.pmod(F.col("docid").cast("long"), F.lit(100)) == 0).withColumn(
             "docid", F.concat(F.lit("dup_"), F.col("docid"))
         )
         d.write.parquet(os.path.join(indir, "drop1"))
-        q = start_streaming_dedup(spark, os.path.join(indir, "*"), out, checkpoint=ck)
-        q.awaitTermination(300)
+        _await(start_streaming_dedup(spark, os.path.join(indir, "*"), out, checkpoint=ck))
         dupes.write.parquet(os.path.join(indir, "drop2"))
-        q2 = start_streaming_dedup(spark, os.path.join(indir, "*"), out, checkpoint=ck)
-        q2.awaitTermination(300)
-        open(os.path.join(out, "_done"), "w").close()
+        _await(start_streaming_dedup(spark, os.path.join(indir, "*"), out, checkpoint=ck))
+        with open(done, "w") as f:
+            f.write(fp)
     return (
         spark.read.schema("docid string, content string, content_sha256 string")
         .parquet(out)

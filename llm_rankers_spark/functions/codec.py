@@ -185,6 +185,11 @@ def pack_postings_batched(
     group.
     """
     n_total = int(doc_ords.size)
+    if n_total == 0:
+        return {c: [] for c in (
+            "n", "docs_blob", "tfs_blob", "dls_blob", "block_last",
+            "block_max_tfn", "doc_offs", "tf_offs", "dl_offs",
+        )}
     doc_ords = np.ascontiguousarray(doc_ords, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     dls = np.ascontiguousarray(dls, dtype=np.int64)

@@ -103,7 +103,6 @@ def test_empty_posting():
 def test_batched_pack_byte_identical_to_per_list(groups):
     from llm_rankers_spark.functions.codec import pack_postings_batched
 
-    rng = np.random.default_rng(7)
     ords_l, tfs_l, dls_l, starts = [], [], [], []
     pos = 0
     for n, seed in groups:

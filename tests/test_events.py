@@ -2,7 +2,7 @@
 of the streaming shapes; entry oracles cover the full events table, these
 pin the semantics on hand-built sequences)."""
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 from llm_rankers_spark.operators.events import sessionize, windowed_counts
 
@@ -22,7 +22,8 @@ def test_windowed_counts_epoch_aligned(spark):
     ]
     got = {(r["bucket"], r["event_type"]): (r["n"], r["total_value"])
            for r in windowed_counts(_ev(spark, rows), "5 minutes").collect()}
-    b0 = int(datetime(2024, 1, 1).timestamp())
+    # UTC explicitly: Spark's session tz is UTC, the machine's may not be
+    b0 = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp())
     assert got[(b0, "click")] == (2, 3.0)
     assert got[(b0 + 300, "view")] == (2, 12.0)
 

@@ -115,8 +115,19 @@ def test_segment_replay_is_idempotent(spark, doc_batches, tmp_path):
     assert len(list_segments(root)) == len(segs1)
 
 
-def test_streaming_event_window_counts(spark):
-    agg = streaming_event_counts(spark, "/root/testdata/sf0.001")
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """The file stream source needs a DIRECTORY of matching-schema files —
+    the sf dir also holds the other tables, so isolate events.parquet."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_only")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def test_streaming_event_window_counts(spark, events_dir):
+    agg = streaming_event_counts(spark, events_dir)
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -130,11 +141,11 @@ def test_streaming_event_window_counts(spark):
     assert got == want
 
 
-def test_streaming_sessionize_matches_batch(spark):
+def test_streaming_sessionize_matches_batch(spark, events_dir):
     from llm_rankers_spark.operators.events import sessionize
 
     q = (
-        streaming_sessionize(spark, "/root/testdata/sf0.001", gap_minutes=30)
+        streaming_sessionize(spark, events_dir, gap_minutes=30)
         .writeStream.outputMode("complete")
         .format("memory")
         .queryName("sess_out")
