@@ -1200,6 +1200,36 @@ SELECT media_id, kind, n_bytes, hx AS sha256, {", ".join(sums)} FROM h
 """
 
 
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embeddings table — value-exact
+    oracle: both engines compute round(x·127/max|x|) in identical IEEE
+    double order, so the emitted int strings match bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = sim_ops.quantize_embeddings(emb)
+    return q.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round("scale", 9).alias("scale"),
+        F.array_join(F.transform("qvec", lambda x: x.cast("int").cast("string")), ",").alias("qvec"),
+    )
+
+
+SQL_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id,
+         [x::DOUBLE FOR x IN embedding] AS v,
+         list_max([abs(x::DOUBLE) FOR x IN embedding]) AS maxabs
+  FROM embeddings
+)
+SELECT vec_id::BIGINT AS vec_id,
+       round(maxabs / 127.0, 9) AS scale,
+       CASE WHEN maxabs = 0
+            THEN array_to_string([0 FOR x IN v], ',')
+            ELSE array_to_string([round((x * 127.0) / maxabs)::INTEGER FOR x IN v], ',')
+       END AS qvec
+FROM e
+"""
+
+
 def q_dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming exact dedup (applyInPandasWithState), oracle-
     checked: the documents table (plus injected duplicates, same scheme as
@@ -1308,6 +1338,7 @@ REGISTRY: dict[str, tuple] = {
     # round-3 breadth: events (batch twins of the streaming shapes), IVF ANN,
     # multimodal feature plumbing
     "dedup_streaming_exact": (q_dedup_streaming, SQL_DEDUP_STREAMING),
+    "sim_quantize_int8": (q_quantize, SQL_QUANTIZE),
     "evt_windowed_counts": (q_event_windows, SQL_EVENT_WINDOWS),
     "evt_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sim_ivf_topk": (q_ivf_topk, _sql_ivf_topk()),

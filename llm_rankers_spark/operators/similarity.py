@@ -236,6 +236,60 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def quantize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: ``scale`` =
+    max(|x|)/127, ``qvec[i]`` = round(x_i/scale) ∈ [-127, 127]. Pure
+    Catalyst expressions (transform/aggregate), no UDF. At 10^12 vectors
+    this is the 4× storage/bandwidth cut that makes the embedding column
+    shippable — dequantize with ``x = q·scale``, or score directly as
+    ``dot(q1,q2)·s1·s2``. All-zero vectors quantize to zeros with scale 0
+    (guarded division). Returns (id, scale, qvec array<tinyint>)."""
+    v = F.col(vec_col)
+    max_abs = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    scale = (max_abs / F.lit(127.0)).alias("scale")
+    qvec = F.when(max_abs == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(v, lambda x: F.round(x.cast("double") * F.lit(127.0) / max_abs).cast("tinyint"))
+    )
+    return corpus.select(F.col(id_col).alias("vec_id"), scale, qvec.alias("qvec"))
+
+
+def dequantize_col(qvec_col, scale_col):
+    """array<tinyint> × scale → array<double> (inverse of quantize)."""
+    q = F.col(qvec_col) if isinstance(qvec_col, str) else qvec_col
+    s = F.col(scale_col) if isinstance(scale_col, str) else scale_col
+    return F.transform(q, lambda x: x.cast("double") * s)
+
+
+def cosine_topk_quantized(
+    quantized: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact-over-quantized cosine top-k: the corpus side is the int8 table
+    from :func:`quantize_embeddings` (scored as dot(q,qv)·scale — the
+    per-vector scale cancels nothing on the query side, which stays
+    float). Same plan shape as :func:`cosine_topk`; the scan reads 1/4 the
+    bytes, which at 100 TB is the difference that matters."""
+    c = quantized.select("vec_id", dequantize_col("qvec", "scale").alias("v"))
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos", _dot("v", "qv") / (_norm("v") * _norm("qv")))
+        .select("qid", "vec_id", "cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def near_duplicate_pairs_exact(
     corpus: DataFrame,
     threshold: float = 0.8,

@@ -293,3 +293,45 @@ def test_ivf_assigned_table_reuse(spark, vectors, tmp_path):
     via_table = ivf_topk(None, q, cents, k=5, n_probe=3, assigned=assigned).orderBy("rank").collect()
     inline = ivf_topk(vectors, q, cents, k=5, n_probe=3).orderBy("rank").collect()
     assert [(r["vec_id"], r["rank"]) for r in via_table] == [(r["vec_id"], r["rank"]) for r in inline]
+
+
+def test_quantize_roundtrip_error_bound(spark, vectors):
+    from llm_rankers_spark.operators.similarity import dequantize_col, quantize_embeddings
+
+    q = quantize_embeddings(vectors)
+    joined = q.join(vectors, "vec_id").select(
+        "vec_id", "scale", "embedding", dequantize_col("qvec", "scale").alias("deq")
+    )
+    rows = joined.collect()
+    assert len(rows) == vectors.count()
+    for r in rows:
+        # symmetric scalar quantization: per-component error <= scale/2
+        for orig, deq in zip(r["embedding"], r["deq"]):
+            assert abs(float(orig) - deq) <= r["scale"] / 2 + 1e-12
+
+
+def test_quantize_zero_vector(spark):
+    from llm_rankers_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    r = quantize_embeddings(df).first()
+    assert r["scale"] == 0.0 and list(r["qvec"]) == [0, 0, 0]
+
+
+def test_quantized_topk_recalls_exact(spark, vectors):
+    from llm_rankers_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    qrows = [("q0", vectors.filter("vec_id = 0").first()["embedding"])]
+    q = spark.createDataFrame(qrows, "qid string, qvec array<double>")
+    exact = [r["vec_id"] for r in cosine_topk(vectors, q, k=5).orderBy("rank").collect()]
+    quant = [
+        r["vec_id"]
+        for r in cosine_topk_quantized(quantize_embeddings(vectors), q, k=5).orderBy("rank").collect()
+    ]
+    # int8 error is tiny at 16 dims: the planted near-dup and self must hold
+    assert quant[0] == 0 and 999 in quant
+    assert len(set(exact) & set(quant)) >= 4
