@@ -1200,6 +1200,49 @@ SELECT media_id, kind, n_bytes, hx AS sha256, {", ".join(sums)} FROM h
 """
 
 
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → keep-one clusters: min-label-propagation connected
+    components over the (oracled) MinHash-LSH pair set. The oracle computes
+    the same components with a recursive-CTE transitive closure — fine at
+    oracle scale, which is exactly why the engine side uses the iterative
+    join instead."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    cc = dedup_ops.connected_components(pairs)
+    return (
+        cc.groupBy("root")
+        .agg(
+            F.count("*").cast("long").alias("cluster_size"),
+            F.array_join(F.array_sort(F.collect_list("id")), ",").alias("members"),
+        )
+    )
+
+
+def _sql_minhash_clusters() -> str:
+    pairs_sql = _sql_minhash_lsh_pairs().strip()
+    assert pairs_sql.upper().startswith("WITH")
+    # splice the pairs query in as CTEs + a final `pairs` CTE, then close
+    # transitively (tiny graph at oracle scale)
+    body = pairs_sql[4:].rsplit("SELECT DISTINCT id_a, id_b FROM", 1)
+    return f"""
+WITH RECURSIVE {body[0]},
+pairs AS (SELECT DISTINCT id_a, id_b FROM {body[1]}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+roots AS (
+  SELECT n.a AS id, least(n.a, min(r.b)) AS root
+  FROM (SELECT DISTINCT a FROM edges) n LEFT JOIN reach r ON r.a = n.a
+  GROUP BY n.a
+)
+SELECT root, count(*)::BIGINT AS cluster_size,
+       array_to_string(list_sort(list(id)), ',') AS members
+FROM roots GROUP BY root
+"""
+
+
 def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embeddings table — value-exact
     oracle: both engines compute round(x·127/max|x|) in identical IEEE
@@ -1339,6 +1382,7 @@ REGISTRY: dict[str, tuple] = {
     # multimodal feature plumbing
     "dedup_streaming_exact": (q_dedup_streaming, SQL_DEDUP_STREAMING),
     "sim_quantize_int8": (q_quantize, SQL_QUANTIZE),
+    "dedup_minhash_clusters": (q_minhash_clusters, _sql_minhash_clusters()),
     "evt_windowed_counts": (q_event_windows, SQL_EVENT_WINDOWS),
     "evt_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sim_ivf_topk": (q_ivf_topk, _sql_ivf_topk()),

@@ -292,3 +292,56 @@ def simhash_duplicates(sigs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("group_size"), F.sort_array(F.collect_list("id")).alias("ids"))
         .filter(F.col("group_size") > 1)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-pair clustering: connected components by min-label
+    propagation. Turns candidate PAIRS (from LSH/SimHash/Jaccard) into
+    keep-one CLUSTERS — the step between near-dup detection and actual
+    removal in a training-data pipeline.
+
+    Each iteration is one join + one min-aggregate, both shuffling on the
+    node id; iterations converge in O(component diameter). Dedup duplicate
+    graphs are star-dominated (a shared near-identical text links all its
+    copies to one rep), so 2-4 iterations settle real workloads; for
+    adversarial long-path graphs the alternating large-star/small-star
+    scheme (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") swaps in with the same per-iteration shuffle cost.
+    ``localCheckpoint`` truncates the growing lineage each round, and the
+    loop exits on a zero-changes count — one metadata-sized action per
+    iteration, no driver-side graph.
+
+    Returns (id, root) for every node appearing in ``pairs``; root = the
+    component's minimum id (deterministic keep-one rule).
+    """
+    und = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = edges.persist()
+    labels = edges.select("a").distinct().withColumn("label", F.col("a"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("a").alias("b"), "label"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "a", "left")
+            .select("a", F.least("label", "nbr_min").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "a")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("a").alias("id"), F.col("label").alias("root"))
