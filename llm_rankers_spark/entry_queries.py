@@ -551,19 +551,21 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select(F.col("id").alias("docid"), *cols)
 
 
-def _sql_minhash_sigs(num_hashes: int, shingle_k: int) -> str:
+def _sql_minhash_sigs(num_hashes: int, shingle_k: int, source: str | None = None) -> str:
     """CTE chain ending in ``sigs(docid, mh0..mh{n-1})`` — the exact Spark
     signatures (md5-derived 31-bit base hash, same (a,b) universal-hash
-    coefficients)."""
+    coefficients). ``source``: a relation exposing (docid, text); defaults
+    to the lpad'd documents table."""
     a, b = dedup_ops.minhash_params(num_hashes)
     p = dedup_ops._MERSENNE
     k = shingle_k
+    src = source or "(SELECT lpad(doc_id::VARCHAR, 10, '0') AS docid, text FROM documents)"
     mins = ",\n       ".join(f"min(({a[i]} * h + {b[i]}) % {p})::BIGINT AS mh{i}" for i in range(num_hashes))
     return f"""
 tok AS (
-  SELECT lpad(doc_id::VARCHAR, 10, '0') AS docid,
+  SELECT docid,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
-  FROM documents
+  FROM {src} AS _src
 ),
 sh AS (
   SELECT docid, unnest(list_distinct(
@@ -584,8 +586,9 @@ MH_LSH_HASHES = 32
 MH_LSH_BANDS = 16
 
 
-def _sql_minhash_lsh_pairs() -> str:
-    """Oracle twin of dedup_ops.minhash_lsh_candidates(hash_fn='md5'):
+def _sql_minhash_pair_ctes(source: str | None = None) -> str:
+    """CTE chain (no leading WITH) ending in ``pairs(id_a, id_b)`` — the
+    oracle twin of dedup_ops.minhash_lsh_candidates(hash_fn='md5'):
     identical-signature star grouping (rep = min docid per full-signature
     key), reps banded with md5 band keys, self-join, union star pairs."""
     n, bands = MH_LSH_HASHES, MH_LSH_BANDS
@@ -595,8 +598,7 @@ def _sql_minhash_lsh_pairs() -> str:
         f"({bd}, md5(concat_ws(',', {', '.join(f'mh{i}' for i in range(bd * rows, (bd + 1) * rows))})))"
         for bd in range(bands)
     )
-    return f"""
-WITH {_sql_minhash_sigs(n, MH_SHINGLE_K)},
+    return f"""{_sql_minhash_sigs(n, MH_SHINGLE_K, source=source)},
 keyed AS (SELECT docid, {all_cols}, md5(concat_ws(',', {all_cols})) AS sigkey FROM sigs),
 withrep AS (SELECT *, min(docid) OVER (PARTITION BY sigkey) AS rep FROM keyed),
 star AS (SELECT rep AS id_a, docid AS id_b FROM withrep WHERE docid <> rep),
@@ -610,9 +612,14 @@ lsh AS (
   SELECT l.id AS id_a, r.id AS id_b
   FROM banded l JOIN banded r ON l.band = r.band AND l.band_hash = r.band_hash
   WHERE l.id < r.id
-)
-SELECT DISTINCT id_a, id_b FROM (SELECT id_a, id_b FROM lsh UNION ALL SELECT id_a, id_b FROM star)
-"""
+),
+pairs AS (
+  SELECT DISTINCT id_a, id_b FROM (SELECT id_a, id_b FROM lsh UNION ALL SELECT id_a, id_b FROM star)
+)"""
+
+
+def _sql_minhash_lsh_pairs() -> str:
+    return f"WITH {_sql_minhash_pair_ctes()}\nSELECT id_a, id_b FROM pairs"
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1217,15 +1224,9 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash_clusters() -> str:
-    pairs_sql = _sql_minhash_lsh_pairs().strip()
-    assert pairs_sql.upper().startswith("WITH")
-    # splice the pairs query in as CTEs + a final `pairs` CTE, then close
-    # transitively (tiny graph at oracle scale)
-    body = pairs_sql[4:].rsplit("SELECT DISTINCT id_a, id_b FROM", 1)
-    return f"""
-WITH RECURSIVE {body[0]},
-pairs AS (SELECT DISTINCT id_a, id_b FROM {body[1]}),
+# transitive closure over `pairs` → roots(id, root): fine at oracle scale,
+# which is exactly why the engine side uses iterative label propagation
+_SQL_CLOSURE_CTES = """
 edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach(a, b) AS (
   SELECT a, b FROM edges
@@ -1236,10 +1237,68 @@ roots AS (
   SELECT n.a AS id, least(n.a, min(r.b)) AS root
   FROM (SELECT DISTINCT a FROM edges) n LEFT JOIN reach r ON r.a = n.a
   GROUP BY n.a
-)
+)"""
+
+
+def _sql_minhash_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_pair_ctes()},
+{_SQL_CLOSURE_CTES.strip()}
 SELECT root, count(*)::BIGINT AS cluster_size,
        array_to_string(list_sort(list(id)), ',') AS members
 FROM roots GROUP BY root
+"""
+
+
+PREP_MIN_WORDS = 20
+
+
+def q_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integration oracle for the corpus-prep pipeline: quality gate
+    (n_words ≥ 20, alpha_ratio ≥ 0.5) → exact dedup (min docid per text) →
+    MinHash-LSH pair → connected-components cluster → drop non-roots. The
+    whole chain — including the resumable stage machinery it runs through —
+    must land on exactly the SQL's surviving set."""
+    from llm_rankers_spark.plans.prep import run_prep_pipeline
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"), F.col("text").alias("content")
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wd = os.path.join(tempfile.gettempdir(), f"llmrs_entry_prep_{tag}")
+    run_prep_pipeline(
+        spark, d, wd,
+        min_words=PREP_MIN_WORDS, minhash_hashes=MH_LSH_HASHES, minhash_bands=MH_LSH_BANDS,
+        shingle_k=MH_SHINGLE_K, minhash_hash_fn="md5",
+    )
+    clean = spark.read.parquet(os.path.join(wd, "clean"))
+    return clean.select("docid", "content_sha256")
+
+
+def _sql_prep_pipeline() -> str:
+    return f"""
+WITH RECURSIVE
+base AS (SELECT lpad(doc_id::VARCHAR, 10, '0') AS docid, text FROM documents),
+feat AS (
+  SELECT docid, text,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_words,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+           / greatest(length(text)::BIGINT, 1) AS alpha_ratio
+  FROM base
+),
+kept AS (
+  SELECT docid, text FROM feat
+  WHERE n_words >= {PREP_MIN_WORDS} AND n_words <= 200000 AND alpha_ratio >= 0.5
+),
+exact AS (
+  SELECT k.docid, k.text FROM kept k
+  JOIN (SELECT min(docid) AS docid FROM kept GROUP BY text) m ON k.docid = m.docid
+),
+{_sql_minhash_pair_ctes(source="exact").strip()},
+{_SQL_CLOSURE_CTES.strip()}
+SELECT e.docid, sha256(e.text) AS content_sha256
+FROM exact e
+WHERE e.docid NOT IN (SELECT id FROM roots WHERE id <> root)
 """
 
 
@@ -1383,6 +1442,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_streaming_exact": (q_dedup_streaming, SQL_DEDUP_STREAMING),
     "sim_quantize_int8": (q_quantize, SQL_QUANTIZE),
     "dedup_minhash_clusters": (q_minhash_clusters, _sql_minhash_clusters()),
+    "prep_pipeline_clean": (q_prep_pipeline, _sql_prep_pipeline()),
     "evt_windowed_counts": (q_event_windows, SQL_EVENT_WINDOWS),
     "evt_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sim_ivf_topk": (q_ivf_topk, _sql_ivf_topk()),

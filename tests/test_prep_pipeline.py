@@ -1,0 +1,51 @@
+"""Corpus-prep pipeline: quality -> exact dedup -> near-dup clusters, resumable."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from llm_rankers_spark.plans.prep import run_prep_pipeline
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    rows = [
+        ("d01", base),
+        ("d02", base),                               # exact dup of d01
+        ("d03", base + " extra tail words here"),    # near-dup of d01
+        ("d04", "completely different content about spark query engines and shuffles"),
+        ("d05", "x"),                                # too short -> quality-filtered
+        ("d06", "!!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) @@@ ~~~"),  # low alpha
+    ]
+    return spark.createDataFrame(rows, "docid string, content string")
+
+
+def test_prep_pipeline_stages_and_resume(spark, tmp_path):
+    wd = str(tmp_path / "prep")
+    docs = _corpus(spark)
+    cfg = dict(min_words=3, minhash_bands=16)
+    counts = run_prep_pipeline(spark, docs, wd, **cfg)
+    # d05 (short) + d06 (low alpha) gone at quality; d02 at exact; d03 at near-dup
+    assert counts["filtered"] == 4
+    assert counts["exact"] == 3
+    assert counts["clean"] == 2
+    kept = {r["docid"] for r in spark.read.parquet(os.path.join(wd, "clean")).collect()}
+    assert kept == {"d01", "d04"}  # min-id keepers, deterministic
+
+    # resume: stage outputs untouched (mtime equality on the parquet dirs)
+    mt = {s: os.path.getmtime(os.path.join(wd, s)) for s in ("filtered", "exact", "clean")}
+    counts2 = run_prep_pipeline(spark, docs, wd, **cfg)
+    assert counts2 == counts
+    assert {s: os.path.getmtime(os.path.join(wd, s)) for s in ("filtered", "exact", "clean")} == mt
+
+    # a config change also invalidates (fingerprint covers the knobs)
+    counts_cfg = run_prep_pipeline(spark, docs, wd, min_words=4, minhash_bands=16)
+    assert counts_cfg == counts  # same survivors at this threshold, but recomputed
+    assert os.path.getmtime(os.path.join(wd, "filtered")) != mt["filtered"]
+
+    # changed input invalidates: add a doc, all stages rerun
+    docs2 = docs.union(spark.createDataFrame(
+        [("d07", "yet another unique document discussing posting lists and codecs")],
+        "docid string, content string"))
+    counts3 = run_prep_pipeline(spark, docs2, wd, **cfg)
+    assert counts3["clean"] == 3
