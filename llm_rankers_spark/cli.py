@@ -105,6 +105,18 @@ def build_parser() -> argparse.ArgumentParser:
     p_r.add_argument("--no-resume", action="store_true")
     _add_common(p_r)
 
+    p_p = sub.add_parser("prep", help="corpus prep: quality -> exact dedup -> near-dup clusters")
+    p_p.add_argument("--docs", required=True)
+    p_p.add_argument("--work-dir", required=True, help="stage outputs; clean corpus at <work-dir>/clean")
+    p_p.add_argument("--min-words", type=int, default=5)
+    p_p.add_argument("--max-words", type=int, default=200_000)
+    p_p.add_argument("--min-alpha-ratio", type=float, default=0.5)
+    p_p.add_argument("--minhash-hashes", type=int, default=32)
+    p_p.add_argument("--minhash-bands", type=int, default=16)
+    p_p.add_argument("--shingle-k", type=int, default=3)
+    p_p.add_argument("--no-resume", action="store_true")
+    _add_common(p_p)
+
     return ap
 
 
@@ -159,6 +171,24 @@ def main(argv: list[str] | None = None) -> int:
             shuffle=args.shuffle,
         )
         print(json.dumps({"trec_path": out["trec_path"], "metrics": out["metrics"]}))
+        return 0
+
+    if args.cmd == "prep":
+        from llm_rankers_spark.plans.prep import run_prep_pipeline
+
+        counts = run_prep_pipeline(
+            spark,
+            _load_corpus(spark, args.docs),
+            args.work_dir,
+            min_words=args.min_words,
+            max_words=args.max_words,
+            min_alpha_ratio=args.min_alpha_ratio,
+            minhash_hashes=args.minhash_hashes,
+            minhash_bands=args.minhash_bands,
+            shingle_k=args.shingle_k,
+            resume=not args.no_resume,
+        )
+        print(json.dumps({"counts": counts, "clean_path": f"{args.work_dir}/clean"}))
         return 0
 
     return 2

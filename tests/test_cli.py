@@ -53,3 +53,13 @@ def test_cli_full_run(spark, tmp_path):
     ))
     assert os.path.isdir(res["trec_path"])
     assert "rerank_sec" in res["metrics"]
+
+
+def test_cli_prep(tmp_path):
+    res = json.loads(_run_cli(
+        "prep", "--docs", f"{SF}/documents.parquet", "--work-dir", str(tmp_path / "prep"),
+        "--min-words", "20",
+    ))
+    c = res["counts"]
+    assert c["filtered"] >= c["exact"] >= c["clean"] > 0
+    assert os.path.exists(os.path.join(res["clean_path"], "_SUCCESS"))
