@@ -64,6 +64,56 @@ def extract_features(media: DataFrame, decoder=real_decoder, batch_hint: int = 2
     return media.repartition("media_id").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def real_resizer(payload: bytes, mime: str, w: int, h: int, tw: int, th: int) -> bytes:  # pragma: no cover
+    """Placeholder for the real resize kernel (PIL absent in this
+    environment)."""
+    raise NotImplementedError(
+        "image resize requires PIL which is not installed; "
+        "pass resizer=fake_resizer for deterministic plumbing tests"
+    )
+
+
+def fake_resizer(payload: bytes, mime: str, w: int, h: int, tw: int, th: int) -> bytes:
+    """Deterministic stand-in: output bytes derived from (payload, target
+    dims), sized proportionally to the target area."""
+    d = hashlib.sha256((payload or b"") + f":{tw}x{th}".encode()).digest()
+    need = max(1, (tw * th) // 64)
+    return (d * (need // len(d) + 1))[:need]
+
+
+def resize_media(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    resizer=real_resizer,
+    kinds: tuple[str, ...] = ("image",),
+) -> DataFrame:
+    """Resize media payloads via ``mapInPandas`` — the batch-transform twin
+    of :func:`extract_features`: rows of the selected ``kinds`` get a new
+    payload + updated (width, height); other kinds pass through untouched,
+    so the operator composes in a mixed-media pipeline without a split/
+    union. Output schema == input schema (MEDIA_SCHEMA), which is what
+    lets resize chain before decode/feature-extract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            mask = out["kind"].isin(kinds)
+            if mask.any():
+                out.loc[mask, "payload"] = [
+                    resizer(p, m, w, h, target_w, target_h)
+                    for p, m, w, h in zip(
+                        out.loc[mask, "payload"], out.loc[mask, "mime"],
+                        out.loc[mask, "width"], out.loc[mask, "height"],
+                    )
+                ]
+                out.loc[mask, "width"] = target_w
+                out.loc[mask, "height"] = target_h
+            yield out
+
+    return media.repartition("media_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts). The
     timestamps come from metadata (no decode needed); the actual frame

@@ -335,3 +335,24 @@ def test_quantized_topk_recalls_exact(spark, vectors):
     # int8 error is tiny at 16 dims: the planted near-dup and self must hold
     assert quant[0] == 0 and 999 in quant
     assert len(set(exact) & set(quant)) >= 4
+
+
+def test_resize_media_plumbing(spark):
+    from llm_rankers_spark.operators.multimodal import fake_resizer, resize_media, synth_media
+
+    media = synth_media(spark, n=12)
+    out = resize_media(media, 32, 24, resizer=fake_resizer).collect()
+    by_id = {r["media_id"]: r for r in out}
+    orig = {r["media_id"]: r for r in media.collect()}
+    assert len(out) == 12
+    for mid, r in by_id.items():
+        o = orig[mid]
+        if r["kind"] == "image":
+            assert (r["width"], r["height"]) == (32, 24)
+            assert bytes(r["payload"]) == fake_resizer(
+                bytes(o["payload"]), o["mime"], o["width"], o["height"], 32, 24
+            )
+            assert len(bytes(r["payload"])) == (32 * 24) // 64
+        else:  # audio/video untouched
+            assert (r["width"], r["height"]) == (o["width"], o["height"])
+            assert bytes(r["payload"]) == bytes(o["payload"])
