@@ -58,13 +58,12 @@ def read_text(path: str) -> str:
     jvm, fs, p = _jvm_fs(path)
     stream = fs.open(p)
     try:
-        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
-        lines = []
-        line = reader.readLine()
-        while line is not None:
-            lines.append(line)
-            line = reader.readLine()
-        return "\n".join(lines) + ("\n" if lines else "")
+        # raw-byte read (round-3 ADVICE): the previous readLine loop
+        # normalized CRLF and force-appended a trailing newline — scheme
+        # paths must be byte-faithful to the local open().read() branch
+        sink = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 65536, False)
+        return bytes(sink.toByteArray()).decode("utf-8")
     finally:
         stream.close()
 

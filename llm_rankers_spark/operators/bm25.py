@@ -438,7 +438,7 @@ def search(
     # block-max bounds are baked at index (k1, b, segment avgdl); any override
     # invalidates them → fall back to plain WAND term bounds
     use_block_max = (
-        method in ("wand", "auto") and k1 == meta.k1 and b == meta.b and avgdl_override is None
+        method in ("wand", "auto", "wand_dat") and k1 == meta.k1 and b == meta.b and avgdl_override is None
     )
 
     # Query batches are driver-side small data: tokenize them right here with
@@ -570,7 +570,7 @@ def search_distributed(
     n_override, avgdl_override, ts_override = stats_override if stats_override else (None, None, None)
     avgdl = avgdl_override if avgdl_override is not None else meta.avgdl
     use_block_max = (
-        method in ("wand", "auto") and k1 == meta.k1 and b == meta.b and avgdl_override is None
+        method in ("wand", "auto", "wand_dat") and k1 == meta.k1 and b == meta.b and avgdl_override is None
     )
     n_docs = float(n_override if n_override is not None else meta.n_docs)
 

@@ -299,30 +299,42 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    method: str = "label",
 ) -> DataFrame:
-    """Duplicate-pair clustering: connected components by min-label
-    propagation. Turns candidate PAIRS (from LSH/SimHash/Jaccard) into
-    keep-one CLUSTERS — the step between near-dup detection and actual
-    removal in a training-data pipeline.
+    """Duplicate-pair clustering: connected components. Turns candidate
+    PAIRS (from LSH/SimHash/Jaccard) into keep-one CLUSTERS — the step
+    between near-dup detection and actual removal in a training-data
+    pipeline.
 
-    Each iteration is one join + one min-aggregate, both shuffling on the
-    node id; iterations converge in O(component diameter). Dedup duplicate
-    graphs are star-dominated (a shared near-identical text links all its
-    copies to one rep), so 2-4 iterations settle real workloads; for
-    adversarial long-path graphs the alternating large-star/small-star
-    scheme (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") swaps in with the same per-iteration shuffle cost.
-    ``localCheckpoint`` truncates the growing lineage each round, and the
-    loop exits on a zero-changes count — one metadata-sized action per
-    iteration, no driver-side graph.
+    ``method='label'`` (default): min-label propagation. Each iteration is
+    one join + one min-aggregate, both shuffling on the node id; converges
+    in O(component diameter) rounds. Dedup duplicate graphs are
+    star-dominated (a shared near-identical text links all its copies to
+    one rep), so 2-4 iterations settle real workloads.
+
+    ``method='star'``: alternating large-star/small-star rounds (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") — O(log n)
+    rounds regardless of diameter, the right tool for adversarial
+    long-path graphs (a 10^9-node chain would run min-label to its
+    iteration cap). Same per-round shuffle cost as one label iteration.
+
+    Both loops ``localCheckpoint`` to truncate the growing lineage each
+    round and exit on a metadata-sized convergence action; hitting
+    ``max_iter`` without converging raises (round-3 ADVICE: silently
+    returning split clusters corrupts the downstream dedup).
 
     Returns (id, root) for every node appearing in ``pairs``; root = the
     component's minimum id (deterministic keep-one rule).
     """
     und = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if method == "star":
+        return _cc_two_phase_star(und, max_iter)
+    if method != "label":
+        raise ValueError(f"unknown connected-components method {method!r}")
     edges = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.persist()
     labels = edges.select("a").distinct().withColumn("label", F.col("a"))
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels.select(F.col("a").alias("b"), "label"), "b")
@@ -342,6 +354,91 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(method='label') did not converge in {max_iter} "
+            "iterations (component diameter exceeds the cap) — rerun with "
+            "method='star', which needs only O(log n) rounds"
+        )
     return labels.select(F.col("a").alias("id"), F.col("label").alias("root"))
+
+
+def _cc_two_phase_star(und: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    Edges are kept canonically as (a, b) with a > b. Per round:
+
+    - large-star: from the symmetric view, every node u computes
+      m = min(Γ(u) ∪ {u}) and reconnects each STRICTLY LARGER neighbor
+      v > u to m — long tails fold onto small labels.
+    - small-star: every node u reconnects its smaller-or-equal
+      neighborhood (and itself) to its minimum — stars flatten.
+
+    Each phase is one groupBy(min) + one join, shuffling on the node id —
+    identical per-round cost to a label iteration, but path lengths halve
+    every round, so chains converge in O(log n) rounds instead of O(n).
+    Convergence = the canonical edge set reaches a fixed point, checked by
+    a metadata-sized (count, checksum) action per round (exact equality is
+    implied: each round's output is a deterministic function of the edge
+    SET, so an unchanged set stays unchanged forever).
+    """
+    nodes = und.select(F.col("a").alias("id")).union(und.select(F.col("b").alias("id"))).distinct().persist()
+    edges = (
+        und.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.concat_ws("|", "a", "b"))).alias("crc"),
+        ).collect()[0]
+        return (row["n"], row["crc"])
+
+    sig = _sig(edges)
+    converged = False
+    for _ in range(max_iter):
+        # --- large-star ---------------------------------------------------
+        sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        m = m.select("a", F.least("mn", "a").alias("m"))
+        large = (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # --- small-star ---------------------------------------------------
+        # canonical (a > b) edges ARE the smaller-neighborhood view
+        sm = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(sm, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(sm.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _sig(small)
+        edges = small
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(method='star') did not converge in {max_iter} rounds"
+        )
+    # fixed point = star edges (u → component min); roots have no out-edge
+    out = (
+        nodes.join(edges.select(F.col("a").alias("id"), F.col("b").alias("r")), "id", "left")
+        .select("id", F.coalesce("r", "id").alias("root"))
+    )
+    nodes.unpersist()
+    return out

@@ -182,18 +182,37 @@ def _pack_and_write(
     bake_df: bool = True,
 ) -> None:
     """Pack posting lists per (term, shard) and write hive-partitioned by
-    term bucket. ``td``: (ord, dl, term, tf, shard) real postings only."""
+    term bucket. ``td``: (ord, dl, term, tf, shard) real postings only.
+
+    The pack groups by BUCKET alone (bucket = hash(term) % num_buckets is a
+    pure function of the term), so every shard-chunk of a term lands in the
+    same group — which is what lets layout v3's global per-term df be
+    counted IN the pack UDF (rows per term in the group == corpus df, one
+    row per (doc, term)). Round-3 cost this replaced: a second full
+    checkpoint scan for groupBy(term).count + a broadcast join that bounded
+    the vocabulary at ~10^7 terms; both gone, any vocabulary size packs.
+    Task-size lever at scale: one group = one bucket ≈ index/num_buckets —
+    size ``num_buckets`` so a bucket fits an executor's Arrow budget
+    (num_buckets is per-index meta; query pruning adapts automatically)."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["term", "ord"])
-        shard = int(pdf["shard"].iloc[0])
         bucket = int(pdf["bucket"].iloc[0])
         terms = pdf["term"].to_numpy()
+        shards_arr = pdf["shard"].to_numpy(np.int64)
         ords = pdf["ord"].to_numpy(np.int64)
         tfs = pdf["tf"].to_numpy(np.int64)
         dls = pdf["dl"].to_numpy(np.int64)
-        starts = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1]])
+        # chunk = one (term, shard) posting sub-list; ord order within a
+        # term is shard order (shard = ord // shard_size), so one sort
+        # yields both boundaries
+        t_change = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(np.r_[True, t_change | (shards_arr[1:] != shards_arr[:-1])])
         counts = np.diff(np.r_[starts, terms.size])
+        # global df per term (all its rows are in this group), spread to chunks
+        t_starts = np.flatnonzero(np.r_[True, t_change])
+        t_counts = np.diff(np.r_[t_starts, terms.size])
+        chunk_df = t_counts[np.searchsorted(t_starts, starts, side="right") - 1]
 
         # Rare identifier terms (the vast majority in a code corpus) pack
         # single-block lists — one vectorized pass over all of them; only
@@ -214,21 +233,26 @@ def _pack_and_write(
                 ords[row_mask], tfs[row_mask], dls[row_mask], sub_starts,
                 avgdl=avgdl, k1=k1, b=b,
             )
-            frames.append(pd.DataFrame({
-                "term": terms[s_starts], "shard": shard, "bucket": bucket, **cols,
-            }))
+            frame = pd.DataFrame({
+                "term": terms[s_starts], "shard": shards_arr[s_starts], "bucket": bucket, **cols,
+            })
+            if bake_df:
+                frame["df"] = chunk_df[small]
+            frames.append(frame)
         if (~small).any():
             out = {c: [] for c in (
                 "term", "shard", "bucket", "n", "docs_blob", "tfs_blob", "dls_blob",
                 "block_last", "block_max_tfn", "doc_offs", "tf_offs", "dl_offs",
             )}
-            for st, c in zip(starts[~small], counts[~small]):
+            if bake_df:
+                out["df"] = []
+            for st, c, cdf in zip(starts[~small], counts[~small], chunk_df[~small]):
                 p = codec.pack_postings(
                     ords[st : st + c], tfs[st : st + c], dls[st : st + c],
                     avgdl=avgdl, k1=k1, b=b,
                 )
                 out["term"].append(terms[st])
-                out["shard"].append(shard)
+                out["shard"].append(int(shards_arr[st]))
                 out["bucket"].append(bucket)
                 out["n"].append(p.n)
                 out["docs_blob"].append(p.docs_blob)
@@ -239,25 +263,14 @@ def _pack_and_write(
                 out["doc_offs"].append(p.doc_offs.tolist())
                 out["tf_offs"].append(p.tf_offs.tolist())
                 out["dl_offs"].append(p.dl_offs.tolist())
+                if bake_df:
+                    out["df"].append(int(cdf))
             frames.append(pd.DataFrame(out))
         return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
+    schema = POSTINGS_SCHEMA + (", df long" if bake_df else "")
     td_b = td.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)))
-    postings = td_b.groupBy("shard", "bucket").applyInPandas(
-        lambda key, pdf: pack(pdf), schema=POSTINGS_SCHEMA
-    )
-    # global df on every row (layout v3): aggregated on the SLIM (term)
-    # projection of the PRE-pack rows (map-side-combinable count — one row
-    # per (doc, term), so count == df), then broadcast-joined onto the
-    # packed rows. Round-2 ADVICE: the previous window over the packed rows
-    # shuffled the entire blob payload by term and destroyed the
-    # per-(shard,bucket) write locality; the broadcast join shuffles
-    # nothing. Scale bound: the df table is vocabulary-sized (~40 B/term —
-    # ~400 MB at 10^7 terms); beyond that, build with bake_df=False
-    # (layout v2: query paths fall back to a per-batch df job).
-    if bake_df:
-        df_tbl = td.groupBy("term").agg(F.count("*").alias("df"))
-        postings = postings.join(F.broadcast(df_tbl), "term")
+    postings = td_b.groupBy("bucket").applyInPandas(lambda key, pdf: pack(pdf), schema=schema)
     # hive-partitioned by term bucket: a selective query computes its terms'
     # buckets and statically prunes 63/64 of the files at the scan. Each pack
     # task holds whole (shard, bucket) groups → bounded file fan-out. shard
@@ -537,7 +550,7 @@ def build_index(
             F.sum(F.when(F.col("first"), F.crc32(F.col("docid")))).alias("crc"),
         )
         .write.mode("overwrite")
-        .option("compression", "zstd")
+        .option("compression", os.environ.get("LLMRS_CKPT_CODEC", "zstd"))
         .parquet(td_path)
     )
     slim.unpersist()  # ords fully materialized into the checkpoint write

@@ -487,6 +487,94 @@ class RankR1Comparator(GenerativeModelComparator):
         return max(counts, key=lambda c: (counts[c], -first_seen[c]))
 
 
+class RankZephyrComparator(GenerativeModelComparator):
+    """P8-zephyr — the RankZephyr listwise chat protocol
+    (Rank-R1/run_listwise.py:92-158 R1ListwiseLlmRanker +
+    Rank-R1/prompts/prompt_listwise_rankzephyr.toml): system/user chat
+    prompt with ``[i] passage`` lines, one ``llm.chat`` call per window,
+    completion matched against the toml's permutation pattern; no match →
+    the literal string 'None' (run_listwise.py:150-156), which
+    ``receive_permutation`` downstream treats as the identity permutation.
+
+    Only the listwise ``permutation`` compare is defined (the reference
+    wires this ranker to the sliding-window loop exclusively); best_of /
+    pair are protocol errors. Plugs into :func:`rerank_batched` with
+    ``method='listwise.sliding'`` — windows across queries pool into one
+    ``generate_batch`` via :class:`_BatchEngine`.
+
+    Divergence (documented, same as RankR1Comparator): the chat template is
+    rendered as plain ``system\\n\\nuser`` text — the real template is
+    tokenizer-specific and lives in the model payload."""
+
+    # prompt text mirrors Rank-R1/prompts/prompt_listwise_rankzephyr.toml
+    PROMPT_SYSTEM = (
+        "You are RankLLM, an intelligent assistant that can rank passages "
+        "based on their relevancy to the query"
+    )
+    PROMPT_USER = (
+        "I will provide you with {num} passages, each indicated by a "
+        "numerical identifier []. Rank the passages based on their relevance "
+        "to the search query: {query}.\n{docs}\nSearch Query: {query}.\n"
+        "Rank the {num} passages above based on their relevance to the "
+        "search query. All the passages should be included and listed using "
+        "identifiers, in descending order of relevance. The output format "
+        "should be [] > [], e.g., [2] > [1], Only respond with the ranking "
+        "results, do not say any word or explain."
+    )
+    PATTERN = r"\s*([\d+\s*>*\[\]]+)\s*"
+
+    def permutation(self, query: str, texts: list[str]) -> str:
+        import re
+
+        docs = "\n".join(f"[{i + 1}] {t}" for i, t in enumerate(texts))
+        prompt = self.PROMPT_SYSTEM + "\n\n" + self.PROMPT_USER.format(
+            num=len(texts), query=query, docs=docs
+        )
+        completion = self._generate([prompt])[0]
+        m = re.search(self.PATTERN, (completion or "").lower(), re.DOTALL)
+        return m.group(1).strip() if m else "None"
+
+    def best_of(self, query: str, texts: list[str]) -> int:
+        raise NotImplementedError("RankZephyr defines only the listwise permutation")
+
+    def pair(self, query: str, a: str, b: str) -> tuple[bool, bool]:
+        raise NotImplementedError("RankZephyr defines only the listwise permutation")
+
+
+class FakeZephyrModel:
+    """Deterministic RankZephyr stand-in: recovers the ``[i] passage`` lines
+    and the search query from the chat prompt, ranks by the shared
+    md5-derived relevance, answers '[2] > [1] > ...' — so zephyr listwise
+    results must equal a scoring comparator on the same relevance (tested)."""
+
+    def __init__(self):
+        self.batches = 0
+        self.items = 0
+
+    @staticmethod
+    def _rel(query: str, text: str) -> float:
+        return int(hashlib.md5(f"{query}\x1f{text}".encode()).hexdigest()[:7], 16) / float(1 << 28)
+
+    def generate_batch(self, prompts: list[str]) -> list[str]:
+        import re
+
+        self.batches += 1
+        self.items += len(prompts)
+        outs = []
+        for p in prompts:
+            q = re.search(r"Search Query: (.*?)\.\n", p, re.DOTALL).group(1)
+            # anchor to line starts: the instruction tail contains a literal
+            # "e.g., [2] > [1]," that an unanchored pattern would pick up
+            texts = re.findall(r"^\[\d+\] (.*)$", p, re.MULTILINE)
+            order = sorted(range(len(texts)), key=lambda i: (-self._rel(q, texts[i]), i))
+            outs.append(" > ".join(f"[{i + 1}]" for i in order))
+        return outs
+
+
+def fake_zephyr_factory():
+    return FakeZephyrModel()
+
+
 class FakeReasoningModel:
     """Deterministic Rank-R1 stand-in: recovers the ``[i]: passage`` lines
     from the user message, ranks them by the md5 relevance and answers with

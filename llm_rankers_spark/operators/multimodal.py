@@ -40,12 +40,24 @@ def fake_decoder(payload: bytes, kind: str) -> np.ndarray:
     return (np.frombuffer(d[:32], dtype=np.uint8).reshape(8, 4).sum(axis=1) / 255.0).astype(np.float32)
 
 
-def extract_features(media: DataFrame, decoder=real_decoder, batch_hint: int = 256) -> DataFrame:
+def _maybe_rebalance(media: DataFrame, rebalance: bool) -> DataFrame:
+    """Map-only media operators must not pay a full corpus shuffle by
+    default (round-3 verdict #3: at 100 TB of payload bytes an unconditional
+    ``repartition`` is a network copy of the corpus bought for batch
+    balance). Memory per task is already bounded by the mapInPandas
+    iterator contract (one Arrow batch in flight), so rebalance is an
+    OPT-IN for inputs with pathological partition skew."""
+    return media.repartition("media_id") if rebalance else media
+
+
+def extract_features(
+    media: DataFrame, decoder=real_decoder, batch_hint: int = 256, rebalance: bool = False
+) -> DataFrame:
     """Decode + featurize media rows via ``mapInPandas``.
 
-    Binary payloads dominate memory, so the operator repartitions by media_id
-    first (spreads big blobs) and processes Arrow batches streaming — the
-    iterator contract means one batch in memory per task, not one partition.
+    Shuffle-free by default: the Arrow-batch iterator bounds memory per
+    task regardless of partition size. ``rebalance=True`` restores the
+    blob-spreading shuffle for skewed inputs.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -61,7 +73,7 @@ def extract_features(media: DataFrame, decoder=real_decoder, batch_hint: int = 2
                 }
             )
 
-    return media.repartition("media_id").mapInPandas(run, schema=FEATURE_SCHEMA)
+    return _maybe_rebalance(media, rebalance).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def real_resizer(payload: bytes, mime: str, w: int, h: int, tw: int, th: int) -> bytes:  # pragma: no cover
@@ -87,6 +99,7 @@ def resize_media(
     target_h: int,
     resizer=real_resizer,
     kinds: tuple[str, ...] = ("image",),
+    rebalance: bool = False,
 ) -> DataFrame:
     """Resize media payloads via ``mapInPandas`` — the batch-transform twin
     of :func:`extract_features`: rows of the selected ``kinds`` get a new
@@ -111,7 +124,7 @@ def resize_media(
                 out.loc[mask, "height"] = target_h
             yield out
 
-    return media.repartition("media_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _maybe_rebalance(media, rebalance).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

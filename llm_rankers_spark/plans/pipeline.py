@@ -205,6 +205,7 @@ def run_pipeline(
             merged.write.mode("overwrite").parquet(tmp)
             final = spark.read.parquet(tmp)
             final.write.mode("overwrite").parquet(st_rr.path)
+            fsio.delete(tmp)  # round-3 ADVICE: don't leak a full copy per resume
         else:
             _dispatch_rerank(cands, rerank_method, comparator, rerank_k).write.mode(
                 "overwrite"

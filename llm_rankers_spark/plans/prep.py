@@ -58,7 +58,10 @@ def run_prep_pipeline(
         f"w{min_words}-{max_words}|a{min_alpha_ratio}"
         f"|mh{minhash_hashes}x{minhash_bands}k{shingle_k}{minhash_hash_fn}"
     )
-    fp_in = f"{_fingerprint(docs, ['docid'])}|{cfg}"
+    # identity includes content_sha256, not just docid: a doc whose content
+    # changes in place must invalidate the cached stages (round-3 ADVICE —
+    # a content-dedup pipeline that ignored content changes on resume)
+    fp_in = f"{_fingerprint(docs, ['docid', 'content_sha256'])}|{cfg}"
     counts: dict[str, int] = {}
 
     # --- 1. quality filter -------------------------------------------------
