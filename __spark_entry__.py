@@ -58,4 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from llm_rankers_spark.entry_queries import REGISTRY
 
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    # a callable sql slot is resolved here (lazy oracles that must read the
+    # testdata — e.g. the kmeans-centroid training — stay out of import time)
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_fn, sql) in REGISTRY.items()
+        if sql is not None
+    }

@@ -17,8 +17,13 @@ Workload (all through the real engine paths):
   rerank_prep  first-stage search + doc-text attach for the rerank batch
   rerank       setwise-heapsort rerank of 20 candidates x all queries
                (the loop itself — prep used to hide inside this number)
-  minhash      MinHash signatures + LSH candidate pairs over documents
+  minhash      MinHash signatures + LSH candidate pairs over documents —
+               run twice: the cold pass (one-time plan compile) is
+               reported as minhash_cold_sec, the warm pass joins the sum
   cosine       exact cosine top-10, 32 query vectors over embeddings
+
+The headline runs each full pass in a fresh subprocess (best-of-N per
+segment, N=$LLMRS_BENCH_PASSES default 2) and records every raw pass.
 """
 
 from __future__ import annotations
@@ -157,12 +162,36 @@ def emu_worker(role: str, worker_id: int, n_workers: int, input_path: str, sync_
     spark.stop()
 
 
+def prime_page_cache(path: str) -> float:
+    """Stream every byte of ``path`` once so the next measurement starts
+    page-cache-resident — the explicit prime pass the round-3 scaling
+    numbers applied by hand (primed vs unprimed query efficiency measured
+    0.74 vs 0.43; the serving model is a long-lived executor whose index is
+    cache-resident, so primed is the honest steady state). Returns MB read."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                with open(os.path.join(root, fn), "rb") as f:
+                    while True:
+                        chunk = f.read(1 << 22)
+                        if not chunk:
+                            break
+                        total += len(chunk)
+            except OSError:
+                pass
+    return total / 1e6
+
+
 def run_emulation(role: str, n_workers: int, input_path: str) -> tuple[float, float]:
     """Launch n_workers emulated executors; return (total_rows, wall) where
-    wall = max worker wall (workers start together via the barrier)."""
+    wall = max worker wall (workers start together via the barrier).
+    The measured input (corpus parquet for build, index for query) is
+    page-cache primed first — no hand-run steps (round-3 verdict #10)."""
     import subprocess
     import tempfile
 
+    prime_page_cache(input_path if role == "build" else input_path + "_index")
     sync_dir = tempfile.mkdtemp(prefix="emu_sync_")
     procs, outs = [], []
     try:
@@ -259,10 +288,16 @@ def run_workload(master: str, sf_dir: str, scale_only: bool = False) -> dict[str
             times["rerank"] = time.perf_counter() - t0
             cands.unpersist()
 
-            t0 = time.perf_counter()
-            sigs = minhash_signatures(docs, id_col="docid", num_hashes=32, shingle_k=3)
-            minhash_lsh_candidates(sigs, num_hashes=32, bands=16).count()
-            times["minhash"] = time.perf_counter() - t0
+            # minhash cold/warm split (round-3 verdict #2): the first call
+            # pays one-time plan compile + codegen for the 32-min-agg plan;
+            # the steady-state number a long-lived pipeline sees is the warm
+            # one. Both are recorded; only `minhash` (warm) joins the
+            # headline sum, `_extra_minhash_cold` rides alongside.
+            for key in ("_extra_minhash_cold", "minhash"):
+                t0 = time.perf_counter()
+                sigs = minhash_signatures(docs, id_col="docid", num_hashes=32, shingle_k=3)
+                minhash_lsh_candidates(sigs, num_hashes=32, bands=16).count()
+                times[key] = time.perf_counter() - t0
 
             emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
                 "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
@@ -294,8 +329,13 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true", help="two-point local[8] vs local[32] run → BENCH/BASELINE.md")
     ap.add_argument("--scale-worker", default=None, help="internal: run one scaling measurement in this master")
     ap.add_argument("--emu-worker", default=None, help="internal: role:id:n:input:sync:out")
+    ap.add_argument("--headline-worker", action="store_true", help="internal: one raw headline pass in this process")
     ap.add_argument("--sf-dir", default=SF_DIR)
     args = ap.parse_args()
+
+    if args.headline_worker:
+        print(json.dumps(run_workload(f"local[{CPUS}]", args.sf_dir)))
+        return
 
     if args.emu_worker:
         role, wid, n, input_path, sync_dir, out_path = args.emu_worker.split(":", 5)
@@ -365,12 +405,25 @@ def main() -> None:
             )
         spark.stop()
 
+        # best-of-2 with raw pairs recorded (round-3 verdict #10): the
+        # 1-JVM denominator's run-to-run variance dominated the round-3
+        # ratio spread, so both points repeat and every raw wall lands in
+        # the JSON + BASELINE.md.
+        emu_passes = int(os.environ.get("LLMRS_EMU_PASSES", "2"))
         emu_rows = []
+        emu_raws: dict[str, list[dict[str, float]]] = {}
         for role in ("build", "query"):
-            rows_n, wall_n = run_emulation(role, 1, emu_input)
-            rows_4n, wall_4n = run_emulation(role, 4, emu_input)
-            thr_n = rows_n / wall_n
-            thr_4n = rows_4n / wall_4n
+            pairs = []
+            for _ in range(emu_passes):
+                rows_n, wall_n = run_emulation(role, 1, emu_input)
+                rows_4n, wall_4n = run_emulation(role, 4, emu_input)
+                pairs.append(
+                    {"thr1": rows_n / wall_n, "thr4": rows_4n / wall_4n,
+                     "wall1": round(wall_n, 2), "wall4": round(wall_4n, 2)}
+                )
+            emu_raws[role] = pairs
+            thr_n = max(p["thr1"] for p in pairs)
+            thr_4n = max(p["thr4"] for p in pairs)
             emu_rows.append((role, thr_n, thr_4n, thr_4n / (4.0 * thr_n)))
 
         os.makedirs("BENCH", exist_ok=True)
@@ -404,19 +457,55 @@ def main() -> None:
             emu_units = {"build": "docs/s", "query": "queries/s"}
             for role, t1, t4, eff in emu_rows:
                 f.write(f"| {role} | {emu_units[role]} | {t1:.1f} | {t4:.1f} | {eff:.3f} |\n")
+            f.write(
+                f"\nProtocol: the measured input is page-cache primed (every byte streamed "
+                f"once) before EVERY point, each (1 JVM, 4 JVM) pair runs {emu_passes}×, the "
+                "table takes the best throughput per point. Raw pairs:\n\n"
+            )
+            for role, pairs in emu_raws.items():
+                for i, p in enumerate(pairs):
+                    f.write(
+                        f"- {role} pass {i + 1}: 1 JVM {p['thr1']:.1f}/s (wall {p['wall1']}s), "
+                        f"4 JVMs {p['thr4']:.1f}/s (wall {p['wall4']}s), "
+                        f"pair efficiency {p['thr4'] / (4 * p['thr1']):.3f}\n"
+                    )
         print(
             json.dumps(
                 {
                     "scaling": [{"stage": k, "thr8": a, "thr32": b, "eff": e} for k, a, b, e in rows],
+                    "scaling_raw_runs": {m: [{k: round(v, 2) for k, v in r.items()} for r in rs] for m, rs in runs.items()},
                     "executor_emulation": [
                         {"stage": k, "thr1": a, "thr4": b, "eff": e} for k, a, b, e in emu_rows
                     ],
+                    "executor_emulation_raw_runs": {
+                        role: [{k: round(v, 1) for k, v in p.items()} for p in pairs]
+                        for role, pairs in emu_raws.items()
+                    },
                 }
             )
         )
         return
 
-    times = run_workload(f"local[{CPUS}]", args.sf_dir)
+    # Headline protocol (round-3 verdict #9): each pass runs in a FRESH
+    # subprocess (its own JVM / python workers / GC state), best-of-N per
+    # segment — the same convention --scaling already uses — and every raw
+    # pass is recorded in the output so regressions are judged on raws,
+    # not on one draw from a ±15% box distribution.
+    import subprocess
+
+    n_passes = int(os.environ.get("LLMRS_BENCH_PASSES", "2"))
+    raws: list[dict[str, float]] = []
+    for _ in range(n_passes):
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-worker", "--sf-dir", args.sf_dir],
+            capture_output=True, text=True, check=True,
+        )
+        raws.append(json.loads(res.stdout.strip().splitlines()[-1]))
+
+    times = {
+        k: min(r[k] for r in raws) if k not in ("n_docs", "n_queries") else raws[0][k]
+        for k in raws[0]
+    }
     n_docs = times.pop("n_docs")
     n_queries = times.pop("n_queries")
     extras = {k[7:]: times.pop(k) for k in [k for k in times if k.startswith("_extra_")]}
@@ -430,10 +519,16 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs_per_sec_build": round(n_docs / times["build"], 1),
         "queries_per_sec_bm25": round(n_queries / times["bm25_wand"], 1),
+        "passes": n_passes,
+        "raw_runs": [
+            {k: round(v, 3) for k, v in r.items() if k not in ("n_docs", "n_queries")} for r in raws
+        ],
     }
     if "bm25_dist4096" in extras:
         out["queries_per_sec_dist4096"] = round(4096 / extras["bm25_dist4096"], 1)
         out["bm25_dist4096_sec"] = round(extras["bm25_dist4096"], 3)
+    if "minhash_cold" in extras:
+        out["minhash_cold_sec"] = round(extras["minhash_cold"], 3)
     print(json.dumps(out))
 
 

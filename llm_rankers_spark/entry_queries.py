@@ -1121,8 +1121,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_ivf_topk() -> str:
-    cents = sim_ops.random_centroids(64, IVF_CENTROIDS, seed=42)
+    return _sql_ivf_from_cents(sim_ops.random_centroids(64, IVF_CENTROIDS, seed=42))
 
+
+def _sql_ivf_from_cents(cents: list[list[float]]) -> str:
     def sqdist(vec: str, cent: list[float]) -> str:
         lit = ", ".join(repr(float(x)) for x in cent)
         return f"list_sum([({vec}[i+1] - [{lit}][i+1]) ^ 2 FOR i IN range(0, 64)])"
@@ -1160,6 +1162,149 @@ ranked AS (
   FROM scored
 )
 SELECT qid, vec_id::BIGINT AS vec_id, rank, round(cos, 4) AS cos FROM ranked WHERE rank <= 5
+"""
+
+
+IVF_KMEANS_SAMPLE = 2048
+IVF_KMEANS_ITERS = 5
+
+
+def _oracle_sf_dir() -> str:
+    """The sf dir the oracle SQL's trained constants must derive from —
+    resolved at ORACLE-REQUEST time so a test harness can pin it to the sf
+    it compares at (the driver compares at sf0.01, the default)."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids (round-3 verdict #7): k-means runs
+    in-entry over the deterministic sample (similarity.ivf_centroids), so
+    the data-adapted path — not just the seeded-random one — meets the
+    DuckDB gate. The oracle trains the SAME k-means (shared
+    similarity.kmeans_local kernel) on the same sample fetched via DuckDB
+    and embeds the resulting centroids as literals; pytest asserts the two
+    trainings agree bit-exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    cents = sim_ops.ivf_centroids(
+        emb, n_centroids=IVF_CENTROIDS, sample=IVF_KMEANS_SAMPLE, iters=IVF_KMEANS_ITERS
+    )
+    q = emb.filter(F.col("vec_id").isin(SIM_QIDS)).select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = sim_ops.ivf_topk(emb, q, cents, k=5, n_probe=IVF_PROBE)
+    return out.select(
+        "qid",
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cos", 4).alias("cos"),
+    )
+
+
+def oracle_kmeans_centroids(sf_dir: str | None = None) -> list[list[float]]:
+    """Train the oracle-side centroids: same deterministic sample (first
+    IVF_KMEANS_SAMPLE vectors by vec_id, cast to double) fetched through
+    DuckDB, same shared k-means kernel — engine-independent by
+    construction."""
+    import duckdb
+    import numpy as np
+
+    sf_dir = sf_dir or _oracle_sf_dir()
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT [x::DOUBLE FOR x IN embedding] AS v "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        f"ORDER BY vec_id LIMIT {IVF_KMEANS_SAMPLE}"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    return sim_ops.kmeans_local(X, IVF_CENTROIDS, iters=IVF_KMEANS_ITERS)
+
+
+def _sql_ivf_kmeans_topk() -> str:
+    return _sql_ivf_from_cents(oracle_kmeans_centroids())
+
+
+def q_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-R1 training-example construction (create_dataset.py add_prefix):
+    judged candidates are derived deterministically from the documents table
+    (3 synthetic queries; positives = doc_id ≡ qi mod 80, negative pool =
+    doc_id ≡ qi mod 3), texts clamped to 20 space-tokens to keep prompts
+    oracle-hashable, then build_setwise_examples renders 1 positive + ≤19
+    md5-shuffled negatives into the R1 prompt with the bracketed
+    ground-truth label."""
+    from llm_rankers_spark.operators.training import build_setwise_examples
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 240)
+    base = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " ").alias("text"),
+        F.col("doc_id").alias("did"),
+    )
+    qs = spark.createDataFrame(
+        [(f"tq{i}", f"training query {i}", i) for i in range(3)],
+        "qid string, query string, qi int",
+    )
+    cands = (
+        qs.crossJoin(base)
+        .withColumn("label", F.when(F.pmod(F.col("did"), F.lit(80)) == F.col("qi"), 1).otherwise(0))
+        .filter((F.col("label") == 1) | (F.pmod(F.col("did"), F.lit(3)) == F.col("qi")))
+        .select("qid", "query", "docid", "text", "label")
+    )
+    out = build_setwise_examples(cands, n_negs=19, seed=929, variant="r1")
+    return out.select(
+        "qid", F.col("n_docs").cast("long").alias("n_docs"), "ground_truth", "prompt"
+    )
+
+
+def _sql_training_examples() -> str:
+    from llm_rankers_spark.operators.model_comparator import RankR1Comparator
+
+    sys_lit = RankR1Comparator.PROMPT_SYSTEM
+    usr_lit = RankR1Comparator.PROMPT_USER
+    assert "'" not in sys_lit and "'" not in usr_lit  # single-quote-safe literals
+    return f"""
+WITH base AS (
+  SELECT lpad(doc_id::VARCHAR, 10, '0') AS docid,
+         array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ') AS text,
+         doc_id AS did
+  FROM documents WHERE doc_id < 240
+),
+q(qid, query, qi) AS (VALUES ('tq0', 'training query 0', 0), ('tq1', 'training query 1', 1), ('tq2', 'training query 2', 2)),
+cand AS (
+  SELECT q.qid, q.query, b.docid, b.text,
+         CASE WHEN b.did % 80 = q.qi THEN 1 ELSE 0 END AS label
+  FROM q CROSS JOIN base b
+  WHERE (b.did % 80 = q.qi) OR (b.did % 3 = q.qi)
+),
+pos AS (
+  SELECT qid, query, docid, text, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY md5('929:pos:' || docid), docid) AS rn
+    FROM cand WHERE label = 1
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT qid, query, docid, text, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY md5('929:neg:' || docid), docid) AS rn
+    FROM cand WHERE label = 0
+  ) WHERE rn <= 19
+),
+pool AS (SELECT * FROM pos UNION ALL SELECT * FROM neg),
+mixed AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY md5('929:mix:' || docid), docid) AS pos_i
+  FROM pool
+),
+agg AS (
+  SELECT qid, max(query) AS query, count(*)::BIGINT AS n_docs,
+         string_agg('[' || pos_i::VARCHAR || '] ' || text, chr(10) ORDER BY pos_i) AS docs,
+         max(CASE WHEN label = 1 THEN pos_i END) AS gt
+  FROM mixed GROUP BY qid
+)
+SELECT qid, n_docs,
+       '[' || gt::VARCHAR || ']' AS ground_truth,
+       '{sys_lit}' || chr(10) || chr(10) ||
+       replace(replace('{usr_lit}', '{{query}}', query), '{{docs}}', docs) AS prompt
+FROM agg
 """
 
 
@@ -1447,4 +1592,12 @@ REGISTRY: dict[str, tuple] = {
     "evt_sessionize": (q_sessionize, SQL_SESSIONIZE),
     "sim_ivf_topk": (q_ivf_topk, _sql_ivf_topk()),
     "mm_media_features": (q_media_features, _sql_media_features()),
+    # round-4: trained-centroid IVF meets the gate (shared k-means kernel,
+    # oracle trains on the same sample via DuckDB) and the Rank-R1
+    # training-example constructor (create_dataset.py as a DataFrame job)
+    # the kmeans oracle trains on the sf0.01 sample at ORACLE-REQUEST time
+    # (callable, resolved by __spark_entry__.oracle_sql) — importing this
+    # module must not touch the testdata
+    "sim_ivf_kmeans_topk": (q_ivf_kmeans_topk, _sql_ivf_kmeans_topk),
+    "r1_training_examples": (q_training_examples, _sql_training_examples()),
 }

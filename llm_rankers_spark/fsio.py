@@ -53,7 +53,9 @@ def _jvm_fs(path: str):
 
 def read_text(path: str) -> str:
     if not has_scheme(path):
-        with open(path) as f:
+        # newline="" disables universal-newline translation: both branches
+        # return the file's bytes decoded as-is (round-3 ADVICE)
+        with open(path, newline="") as f:
             return f.read()
     jvm, fs, p = _jvm_fs(path)
     stream = fs.open(p)

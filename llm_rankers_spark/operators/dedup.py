@@ -300,6 +300,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     method: str = "label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate-pair clustering: connected components. Turns candidate
     PAIRS (from LSH/SimHash/Jaccard) into keep-one CLUSTERS — the step
@@ -328,14 +329,16 @@ def connected_components(
     """
     und = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     if method == "star":
-        return _cc_two_phase_star(und, max_iter)
+        return _cc_two_phase_star(und, max_iter, stats)
     if method != "label":
         raise ValueError(f"unknown connected-components method {method!r}")
     edges = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.persist()
     labels = edges.select("a").distinct().withColumn("label", F.col("a"))
     converged = False
+    iters = 0
     for _ in range(max_iter):
+        iters += 1
         nbr_min = (
             edges.join(labels.select(F.col("a").alias("b"), "label"), "b")
             .groupBy("a")
@@ -357,6 +360,8 @@ def connected_components(
             converged = True
             break
     edges.unpersist()
+    if stats is not None:
+        stats["iterations"] = iters
     if not converged:
         raise RuntimeError(
             f"connected_components(method='label') did not converge in {max_iter} "
@@ -366,7 +371,7 @@ def connected_components(
     return labels.select(F.col("a").alias("id"), F.col("label").alias("root"))
 
 
-def _cc_two_phase_star(und: DataFrame, max_iter: int) -> DataFrame:
+def _cc_two_phase_star(und: DataFrame, max_iter: int, stats: dict | None = None) -> DataFrame:
     """Alternating large-star/small-star connected components.
 
     Edges are kept canonically as (a, b) with a > b. Per round:
@@ -402,7 +407,9 @@ def _cc_two_phase_star(und: DataFrame, max_iter: int) -> DataFrame:
 
     sig = _sig(edges)
     converged = False
+    iters = 0
     for _ in range(max_iter):
+        iters += 1
         # --- large-star ---------------------------------------------------
         sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         m = sym.groupBy("a").agg(F.min("b").alias("mn"))
@@ -431,6 +438,8 @@ def _cc_two_phase_star(und: DataFrame, max_iter: int) -> DataFrame:
             converged = True
             break
         sig = new_sig
+    if stats is not None:
+        stats["iterations"] = iters
     if not converged:
         raise RuntimeError(
             f"connected_components(method='star') did not converge in {max_iter} rounds"

@@ -146,6 +146,24 @@ def random_centroids(dim: int, n_centroids: int, seed: int = 42) -> list[list[fl
     return c.tolist()
 
 
+def kmeans_local(X: "np.ndarray", n_centroids: int, iters: int = 10) -> list[list[float]]:
+    """The deterministic k-means kernel shared by :func:`ivf_centroids`
+    (Spark sample collect) and the DuckDB oracle generator (same sample
+    fetched engine-side): identical input rows → bit-identical centroids.
+    Init = first ``n_centroids`` rows; empty clusters keep their previous
+    centroid."""
+    X = np.asarray(X, dtype=np.float64)
+    cents = X[:n_centroids].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents.tolist()
+
+
 def ivf_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -156,20 +174,11 @@ def ivf_centroids(
 ) -> list[list[float]]:
     """Driver-side deterministic k-means over a deterministic sample (first
     ``sample`` vectors by id — swap in a stride/TABLESAMPLE for very large
-    tables). Initial centroids are the first ``n_centroids`` sampled rows;
-    empty clusters keep their previous centroid. The returned list feeds
-    :func:`ivf_topk` (and, being plain floats, an external oracle)."""
+    tables). The returned list feeds :func:`ivf_topk` (and, being plain
+    floats, an external oracle)."""
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    cents = X[:n_centroids].copy()
-    for _ in range(iters):
-        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for j in range(n_centroids):
-            members = X[assign == j]
-            if len(members):
-                cents[j] = members.mean(axis=0)
-    return cents.tolist()
+    return kmeans_local(X, n_centroids, iters)
 
 
 def ivf_assign(

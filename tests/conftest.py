@@ -16,3 +16,6 @@ def spark():
 
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# oracles that train constants from the data (kmeans-IVF) must derive them
+# from the SAME sf the tests compare at
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)

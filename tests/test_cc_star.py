@@ -1,0 +1,69 @@
+"""Large-star/small-star connected components (round-3 verdict #4):
+O(log n) convergence on adversarial long-path graphs, equality with the
+min-label method on realistic graphs, and the non-convergence guard."""
+
+import math
+
+import pytest
+
+from llm_rankers_spark.operators.dedup import connected_components
+
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a string, id_b string")
+
+
+def _roots(df):
+    return {r["id"]: r["root"] for r in df.collect()}
+
+
+def test_star_equals_label_on_mixed_graph(spark):
+    # two stars, one triangle, one small chain, singleton pair
+    pairs = (
+        [("a00", f"a{i:02d}") for i in range(1, 6)]
+        + [("b00", f"b{i:02d}") for i in range(1, 4)]
+        + [("c1", "c2"), ("c2", "c3"), ("c1", "c3")]
+        + [("d1", "d2"), ("d2", "d3"), ("d3", "d4")]
+        + [("e1", "e2")]
+    )
+    df = _pairs_df(spark, pairs)
+    assert _roots(connected_components(df, method="star")) == _roots(
+        connected_components(df, method="label")
+    )
+
+
+def test_star_chain_converges_in_log_rounds(spark):
+    # 10^4-node chain: min-label would need 10^4 iterations (diameter);
+    # large/small-star halves path lengths per round → O(log n)
+    n = 10_000
+    ids = [f"v{i:05d}" for i in range(n)]
+    pairs = list(zip(ids[:-1], ids[1:]))
+    stats: dict = {}
+    out = connected_components(_pairs_df(spark, pairs), method="star", max_iter=40, stats=stats)
+    roots = _roots(out)
+    assert len(roots) == n
+    assert set(roots.values()) == {"v00000"}
+    # log-ish round count (log2(10^4) ≈ 13.3), nowhere near the O(n)
+    # diameter a label propagation would need
+    assert stats["iterations"] <= 2 * int(math.log2(n)), stats
+
+
+def test_label_raises_instead_of_wrong_labels(spark):
+    # round-3 ADVICE: exhausting max_iter used to silently return split
+    # clusters — now it raises and points at method='star'
+    ids = [f"w{i:03d}" for i in range(40)]
+    pairs = list(zip(ids[:-1], ids[1:]))
+    with pytest.raises(RuntimeError, match="star"):
+        connected_components(_pairs_df(spark, pairs), method="label", max_iter=3)
+    # star handles the same graph inside the same budget
+    roots = _roots(connected_components(_pairs_df(spark, pairs), method="star", max_iter=10))
+    assert set(roots.values()) == {"w000"}
+
+
+def test_star_empty_and_self_pairs(spark):
+    assert _roots(connected_components(_pairs_df(spark, [("x", "x")]), method="star")) == {"x": "x"}
+
+
+def test_unknown_method_rejected(spark):
+    with pytest.raises(ValueError):
+        connected_components(_pairs_df(spark, [("a", "b")]), method="nope")

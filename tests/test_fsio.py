@@ -52,6 +52,18 @@ def test_hadoop_branch_roundtrip(spark, tmp_path):
     assert os.path.isdir(str(tmp_path / "hd" / "nested"))
 
 
+def test_scheme_read_is_byte_faithful(spark, tmp_path):
+    # round-3 ADVICE: the readLine-based scheme read normalized CRLF and
+    # force-appended a trailing newline — scheme reads must equal the local
+    # open().read() branch byte for byte
+    cases = ["no trailing newline", "crlf\r\nlines\r\n", "mid\rcarriage", "", "a\n\n\nb"]
+    for i, content in enumerate(cases):
+        local = str(tmp_path / f"bf{i}.txt")
+        with open(local, "w", newline="") as f:
+            f.write(content)
+        assert fsio.read_text(f"file://{local}") == fsio.read_text(local) == content, repr(content)
+
+
 def test_unknown_scheme_raises(spark):
     with pytest.raises(Exception):
         fsio.read_text("nosuchscheme://x/y")

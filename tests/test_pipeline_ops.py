@@ -356,3 +356,19 @@ def test_resize_media_plumbing(spark):
         else:  # audio/video untouched
             assert (r["width"], r["height"]) == (o["width"], o["height"])
             assert bytes(r["payload"]) == bytes(o["payload"])
+
+
+def test_media_ops_shuffle_free_by_default(spark):
+    # round-3 verdict #5: map-only media operators must not pay a corpus
+    # shuffle by default; rebalance=True opts back in
+    from llm_rankers_spark.operators.multimodal import extract_features as _ef
+    from llm_rankers_spark.operators.multimodal import fake_resizer
+    from llm_rankers_spark.operators.multimodal import resize_media as _rm
+
+    media = synth_media(spark, n=8)
+    for op in (lambda m, **kw: _ef(m, decoder=fake_decoder, **kw),
+               lambda m, **kw: _rm(m, 32, 24, resizer=fake_resizer, **kw)):
+        plan = op(media)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        plan_rb = op(media, rebalance=True)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan_rb

@@ -49,3 +49,27 @@ def test_prep_pipeline_stages_and_resume(spark, tmp_path):
         "docid string, content string"))
     counts3 = run_prep_pipeline(spark, docs2, wd, **cfg)
     assert counts3["clean"] == 3
+
+
+def test_prep_resume_sees_in_place_content_change(spark, tmp_path):
+    # round-3 ADVICE (medium): same docids, different content must
+    # invalidate the cached stages — the fingerprint covers content_sha256,
+    # not just docid
+    wd = str(tmp_path / "prep_content")
+    docs = _corpus(spark)
+    cfg = dict(min_words=3, minhash_bands=16)
+    counts = run_prep_pipeline(spark, docs, wd, **cfg)
+    assert counts["clean"] == 2
+
+    # d04 becomes an exact copy of d01: same docid set, new content
+    changed = docs.withColumn(
+        "content",
+        F.when(F.col("docid") == "d04", F.lit(
+            "the quick brown fox jumps over the lazy dog again and again in the yard"
+        )).otherwise(F.col("content")),
+    )
+    counts2 = run_prep_pipeline(spark, changed, wd, **cfg)
+    assert counts2["exact"] == 2   # d02 AND d04 now drop at exact dedup
+    assert counts2["clean"] == 1
+    kept = {r["docid"] for r in spark.read.parquet(os.path.join(wd, "clean")).collect()}
+    assert kept == {"d01"}
