@@ -148,9 +148,16 @@ def emu_worker(role: str, worker_id: int, n_workers: int, input_path: str, sync_
 
     t0 = time.perf_counter()
     if role == "build":
+        # LLMRS_EMU_OUT relocates the index output (e.g. /dev/shm): on a
+        # real cluster each executor writes to ITS OWN node disk, while 4
+        # emulated JVMs share this box's one spindle — tmpfs output models
+        # per-node disks (see BENCH/BASELINE.md shared-hardware notes)
+        out_dir = tempfile.mkdtemp(
+            prefix=f"emu_idx_{worker_id}_", dir=os.environ.get("LLMRS_EMU_OUT") or None
+        )
         build_index(
             docs.select("docid", "content", "content_sha256"),
-            tempfile.mkdtemp(prefix=f"emu_idx_{worker_id}_"),
+            out_dir,
             tokenizer_mode="code",
             num_shards=8,
         )
@@ -429,6 +436,11 @@ def main() -> None:
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write("# BENCH — two-point scaling evidence (local[8] vs local[32])\n\n")
+            f.write(
+                "Generated by `python bench.py --scaling` (one command, priming "
+                "included — no hand-run steps). Build-regression attribution and "
+                "kernel A/Bs live in BENCH/BUILD_ATTRIBUTION_r04.md.\n\n"
+            )
             f.write(f"Input: synthetic code corpus, {int(lo['n_docs'])} docs (seed=42), {int(lo['n_queries'])} BM25 queries; ")
             f.write("identical workload at both parallelism levels — sandbox stand-in for N vs 4N executors.\n\n")
             f.write("| stage | unit | throughput @8 | throughput @32 | efficiency (thr32 / 4·thr8) |\n")

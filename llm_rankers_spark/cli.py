@@ -114,6 +114,8 @@ def build_parser() -> argparse.ArgumentParser:
     p_p.add_argument("--minhash-hashes", type=int, default=32)
     p_p.add_argument("--minhash-bands", type=int, default=16)
     p_p.add_argument("--shingle-k", type=int, default=3)
+    p_p.add_argument("--cc-method", choices=["label", "star"], default="label",
+                     help="connected-components solver: star = O(log n) rounds for long-path dup graphs")
     p_p.add_argument("--no-resume", action="store_true")
     _add_common(p_p)
 
@@ -186,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
             minhash_hashes=args.minhash_hashes,
             minhash_bands=args.minhash_bands,
             shingle_k=args.shingle_k,
+            cc_method=args.cc_method,
             resume=not args.no_resume,
         )
         print(json.dumps({"counts": counts, "clean_path": f"{args.work_dir}/clean"}))

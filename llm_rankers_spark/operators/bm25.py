@@ -520,6 +520,35 @@ def search(
     )
 
 
+def _tree_topk(
+    partial: DataFrame, k: int, shard_size: int, num_shards: int, fanin: int
+) -> DataFrame:
+    """Multi-level top-k merge of per-shard partials (round-3 verdict #8):
+    fold ``fanin`` shard groups at a time, keeping k per (qid, group) at
+    each level, until one group remains — then the final per-qid ranking
+    window assigns ranks. Every level is one window shuffle whose per-task
+    input is bounded by fanin×k rows per qid, independent of shard count;
+    the single-window merge is the degenerate one-level case. Exactness:
+    shards are disjoint doc ranges, so the global top-k is contained in
+    the union of per-group top-k's at every level."""
+    if fanin < 2:
+        raise ValueError("merge_fanin must be >= 2")
+    # shard id is derivable from the ordinal — partials don't carry it
+    cur = partial.withColumn("_g", (F.col("ord") / F.lit(shard_size)).cast("long"))
+    width = num_shards
+    while width > fanin:
+        cur = cur.withColumn("_g", (F.col("_g") / F.lit(fanin)).cast("long"))
+        w = Window.partitionBy("qid", "_g").orderBy(F.desc("score"), F.asc("ord"))
+        cur = cur.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+        width = -(-width // fanin)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ord"))
+    return (
+        cur.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("_g")
+    )
+
+
 def search_distributed(
     index: InvertedIndex,
     queries: DataFrame,
@@ -531,6 +560,8 @@ def search_distributed(
     stats_override: tuple | None = None,
     query_chunks: int = 1,
     prune_buckets: bool = True,
+    merge: str = "window",
+    merge_fanin: int = 64,
 ) -> DataFrame:
     """BM25 top-k with the query plan kept distributed end to end — the
     10^5–10^6-query batch path.
@@ -544,6 +575,15 @@ def search_distributed(
     broadcast would ship per executor), and cogrouped with the shard's
     posting rows. ``queries`` is never collected; chunk a 10^6-query batch
     by qid range upstream if the replicated plan outgrows executor memory.
+
+    ``merge``: how per-shard partial top-k's become the global top-k.
+    ``'window'`` (default) is one ranking window per qid — right up to
+    ~10^3 shards. ``'tree'`` folds shards in ``merge_fanin``-ary groups
+    (each level one window shuffle keeping k per (qid, group)) until one
+    group remains — at 10^5 shards the single-window merge funnels
+    shards×k rows through ONE task per qid, while the tree bounds every
+    task at fanin×k rows. Results are exactly equal (shards hold disjoint
+    doc ranges, so the global top-k survives every per-group cut; tested).
     """
     if query_chunks > 1:
         # beyond ~10^6 queries the per-shard cogrouped query plan outgrows a
@@ -622,8 +662,13 @@ def search_distributed(
         .applyInPandas(lambda key, lp, rp: scorer(lp, rp), schema=RESULT_SCHEMA)
     )
 
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ord"))
-    topk = partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if merge == "tree":
+        topk = _tree_topk(partial, k, meta.shard_size, meta.num_shards, merge_fanin)
+    elif merge == "window":
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("ord"))
+        topk = partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    else:
+        raise ValueError(f"unknown merge strategy {merge!r}")
     # docid attach WITHOUT a broadcast hint (round-2 ADVICE): this path is
     # built for 10^5–10^6-query batches, where topk is n_queries × k rows —
     # force-broadcasting that ships up to ~10^7 rows to every executor. AQE

@@ -575,6 +575,38 @@ def fake_zephyr_factory():
     return FakeZephyrModel()
 
 
+class RankR1V02Comparator(RankR1Comparator):
+    """P10-v0.2 — the Rank-R1 v0.2 prompt variant
+    (Rank-R1/prompts/prompt_setwise-R1-v0.2.toml): analysis-oriented
+    RankLLM system/user text, ``[i]: doc`` lines joined by BLANK lines,
+    same ``<think>/<answer>`` answer pattern and voting flow as v1 — only
+    the prompt protocol differs, so everything else inherits."""
+
+    # prompt text mirrors Rank-R1/prompts/prompt_setwise-R1-v0.2.toml
+    PROMPT_SYSTEM = (
+        "You are RankLLM, an intelligent assistant capable of evaluating the "
+        "relevancy of passages to a given query."
+    )
+    PROMPT_USER = (
+        "You will be presented with a query, and a set of documents.\n\n"
+        "Your task consists of the following step:\n\n"
+        "1. Analyze the query: Carefully read the query and identify the core "
+        "problem or question being asked.\n\n"
+        "2. Analyze the documents: Thoroughly examine each document and briefly "
+        "explain how each document is relevant or not relevant to the query.\n\n"
+        "3. Find the most relevant document: Based on your analysis, select the "
+        "most relevant document to the query from the set and briefly explain "
+        "why.\n\n"
+        "Important: Provide your analysis within the <think> </think> tags and "
+        "answer only the label of the most relevant document, enclosed in "
+        "square brackets, within the <answer> </answer> tags. For example, if "
+        "the third document is the most relevant, your response should be:\n"
+        "<think> Your analysis here </think>\n<answer>[3]</answer>\n\n"
+        "Here is the query: {query}\n\nHere are the documents:\n{docs}"
+    )
+    DOC_SEPARATOR = "\n\n"
+
+
 class FakeReasoningModel:
     """Deterministic Rank-R1 stand-in: recovers the ``[i]: passage`` lines
     from the user message, ranks them by the md5 relevance and answers with
@@ -595,7 +627,10 @@ class FakeReasoningModel:
         self.items += len(prompts)
         outs = []
         for p in prompts:
-            q = re.search(r'Given the query: "([^"]*)"', p).group(1)
+            m = re.search(r'Given the query: "([^"]*)"', p)  # v1 prompt
+            if m is None:  # v0.2 prompt
+                m = re.search(r"Here is the query: (.*?)\n\nHere are the documents:", p, re.DOTALL)
+            q = m.group(1)
             texts = re.findall(r"\[\d+\]: (.*)", p)
             best = max(range(len(texts)), key=lambda i: (self._rel(q, texts[i]), -i))
             outs.append(f"<think> scored {len(texts)} docs </think> <answer>[{best + 1}]</answer>")

@@ -27,7 +27,10 @@ import re
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from llm_rankers_spark.operators.model_comparator import RankR1Comparator
+from llm_rankers_spark.operators.model_comparator import (
+    RankR1Comparator,
+    RankR1V02Comparator,
+)
 
 # prompt text mirrors Rank-R1/prompts/prompt_setwise.toml (SFT variant)
 SFT_PROMPT_SYSTEM = (
@@ -44,28 +47,10 @@ SFT_PROMPT_USER = (
     "answer should be: <answer>[3]</answer>."
 )
 
-# prompt text mirrors Rank-R1/prompts/prompt_setwise-R1-v0.2.toml
-V02_PROMPT_SYSTEM = (
-    "You are RankLLM, an intelligent assistant capable of evaluating the "
-    "relevancy of passages to a given query."
-)
-V02_PROMPT_USER = (
-    "You will be presented with a query, and a set of documents.\n\n"
-    "Your task consists of the following step:\n\n"
-    "1. Analyze the query: Carefully read the query and identify the core "
-    "problem or question being asked.\n\n"
-    "2. Analyze the documents: Thoroughly examine each document and briefly "
-    "explain how each document is relevant or not relevant to the query.\n\n"
-    "3. Find the most relevant document: Based on your analysis, select the "
-    "most relevant document to the query from the set and briefly explain "
-    "why.\n\n"
-    "Important: Provide your analysis within the <think> </think> tags and "
-    "answer only the label of the most relevant document, enclosed in "
-    "square brackets, within the <answer> </answer> tags. For example, if "
-    "the third document is the most relevant, your response should be:\n"
-    "<think> Your analysis here </think>\n<answer>[3]</answer>\n\n"
-    "Here is the query: {query}\n\nHere are the documents:\n{docs}"
-)
+# prompt text of Rank-R1/prompts/prompt_setwise-R1-v0.2.toml lives on the
+# comparator (single source for both the rerank protocol and this builder)
+V02_PROMPT_SYSTEM = RankR1V02Comparator.PROMPT_SYSTEM
+V02_PROMPT_USER = RankR1V02Comparator.PROMPT_USER
 
 _VARIANTS = {
     # variant: (system, user, doc_prefix, doc_separator, n_negs_cap)

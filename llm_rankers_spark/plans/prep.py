@@ -37,6 +37,7 @@ def run_prep_pipeline(
     minhash_bands: int = 16,
     shingle_k: int = 3,
     minhash_hash_fn: str = "xxhash64",
+    cc_method: str = "label",
     resume: bool = True,
 ) -> dict:
     """``docs``: (docid, content[, content_sha256]). Returns per-stage row
@@ -58,6 +59,9 @@ def run_prep_pipeline(
         f"w{min_words}-{max_words}|a{min_alpha_ratio}"
         f"|mh{minhash_hashes}x{minhash_bands}k{shingle_k}{minhash_hash_fn}"
     )
+    # cc_method is deliberately NOT in the fingerprint: label and star
+    # produce identical clusters (only round counts differ), so switching
+    # solvers must not invalidate cached stages
     # identity includes content_sha256, not just docid: a doc whose content
     # changes in place must invalidate the cached stages (round-3 ADVICE —
     # a content-dedup pipeline that ignored content changes on resume)
@@ -101,7 +105,7 @@ def run_prep_pipeline(
         pairs = dedup_ops.minhash_lsh_candidates(
             sigs, num_hashes=minhash_hashes, bands=minhash_bands, hash_fn=minhash_hash_fn
         )
-        cc = dedup_ops.connected_components(pairs)
+        cc = dedup_ops.connected_components(pairs, method=cc_method)
         drop = cc.filter(F.col("id") != F.col("root")).select(F.col("id").alias("docid"))
         exact.join(drop, "docid", "left_anti").write.mode("overwrite").parquet(st3.path)
         st3.mark(fp_e, {"rows": spark.read.parquet(st3.path).count()})

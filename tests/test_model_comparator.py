@@ -229,6 +229,34 @@ def test_rank_r1_comparator_matches_scoring():
         assert m.items == r1.compares * nperm
 
 
+def test_rank_r1_v02_comparator_matches_scoring():
+    # P10-v0.2: same voting/parse flow, v0.2 prompt protocol (RankLLM
+    # system text, blank-line doc separator, 'Here is the query:' framing)
+    from llm_rankers_spark.operators.model_comparator import (
+        FakeReasoningModel,
+        RankR1V02Comparator,
+        fake_reasoning_factory,
+    )
+
+    items = _mk_items("r1v2")
+    m = FakeReasoningModel()
+    seen = {}
+
+    def spy(prompts):
+        seen.setdefault("p", prompts[0])
+        return m.generate_batch(prompts)
+
+    r1 = RankR1V02Comparator("r1v2", fake_reasoning_factory, dispatch=spy, num_permutation=3)
+    mock = MockComparator(relevance=_fake_rel)
+    got = rerank_local("setwise.heapsort", items, "query r1v2", r1, k=5, num_child=3)
+    want = rerank_local("setwise.heapsort", items, "query r1v2", mock, k=5, num_child=3)
+    assert got == want
+    p = seen["p"]
+    assert p.startswith("You are RankLLM")
+    assert "Here is the query: query r1v2\n\nHere are the documents:\n[1]: " in p
+    assert "\n\n[2]: " in p  # v0.2 doc_separator is a blank line
+
+
 def test_rank_r1_parse_fallback_keeps_parent():
     from llm_rankers_spark.operators.model_comparator import RankR1Comparator
 
