@@ -469,10 +469,13 @@ def main() -> None:
             emu_units = {"build": "docs/s", "query": "queries/s"}
             for role, t1, t4, eff in emu_rows:
                 f.write(f"| {role} | {emu_units[role]} | {t1:.1f} | {t4:.1f} | {eff:.3f} |\n")
+            emu_out = os.environ.get("LLMRS_EMU_OUT")
             f.write(
                 f"\nProtocol: the measured input is page-cache primed (every byte streamed "
                 f"once) before EVERY point, each (1 JVM, 4 JVM) pair runs {emu_passes}×, the "
-                "table takes the best throughput per point. Raw pairs:\n\n"
+                "table takes the best throughput per point. Build output goes to "
+                f"{emu_out or 'the shared /tmp spindle (set LLMRS_EMU_OUT=/dev/shm to model per-node executor disks — real 4N clusters do not share one disk; the disk-vs-tmpfs A/B is in BENCH/BUILD_ATTRIBUTION_r04.md)'}. "
+                "Raw pairs:\n\n"
             )
             for role, pairs in emu_raws.items():
                 for i, p in enumerate(pairs):

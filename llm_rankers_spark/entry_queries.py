@@ -1308,6 +1308,74 @@ FROM agg
 """
 
 
+DECON_K = 5
+DECON_EXCERPT_TOKENS = 12
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a synthetic eval set (every 50th doc's
+    first 12 simple-tokens — an 'excerpted question') is matched back
+    against the corpus by 5-token shingle overlap; source docs (and their
+    exact duplicates) surface at overlap 1.0. Benchmark shingles broadcast
+    — the corpus side never shuffles before the tiny matched aggregate."""
+    from llm_rankers_spark.functions.tokenize import tokens_col
+    from llm_rankers_spark.operators.dedup import contamination_overlap
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"),
+        F.col("text").alias("content"),
+        F.col("doc_id").alias("did"),
+    )
+    toks = tokens_col(F.col("content"), mode="simple")
+    bench = (
+        d.filter(F.pmod(F.col("did"), F.lit(50)) == 0)
+        .select(
+            F.concat(F.lit("b"), F.col("docid")).alias("bench_id"),
+            F.array_join(F.slice(toks, 1, DECON_EXCERPT_TOKENS), " ").alias("text"),
+        )
+    )
+    out = contamination_overlap(
+        d.select("docid", "content"), bench, shingle_k=DECON_K, threshold=0.8
+    )
+    return out.select(
+        "bench_id", "docid", "matched", "bench_shingles", F.round("overlap", 4).alias("overlap")
+    )
+
+
+def _sql_contamination() -> str:
+    k, ex = DECON_K, DECON_EXCERPT_TOKENS
+    tok = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+    sh = (
+        "list_distinct(CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')] "
+        "ELSE [array_to_string(t[i + 1 : i + {k}], ' ') FOR i IN range(0, len(t) - {k} + 1)] END)"
+    ).format(k=k)
+    return f"""
+WITH d AS (
+  SELECT lpad(doc_id::VARCHAR, 10, '0') AS docid, text, doc_id AS did FROM documents
+),
+bench AS (
+  SELECT 'b' || docid AS bench_id,
+         array_to_string(({tok.format(c='text')})[1 : {ex}], ' ') AS text
+  FROM d WHERE did % 50 = 0
+),
+dtok AS (SELECT docid, {tok.format(c='text')} AS t FROM d),
+dsh AS (SELECT docid, unnest({sh}) AS shingle FROM dtok),
+btok AS (SELECT bench_id, {tok.format(c='text')} AS t FROM bench),
+bsha AS (SELECT bench_id, {sh} AS shs FROM btok),
+btot AS (SELECT bench_id, len(shs)::BIGINT AS bench_shingles FROM bsha),
+bsh AS (SELECT bench_id, unnest(shs) AS shingle FROM bsha),
+m AS (
+  SELECT ds.docid, bs.bench_id, count(*)::BIGINT AS matched
+  FROM dsh ds JOIN bsh bs USING (shingle)
+  GROUP BY ds.docid, bs.bench_id
+)
+SELECT m.bench_id, m.docid, m.matched, bt.bench_shingles,
+       round(m.matched * 1.0 / bt.bench_shingles, 4) AS overlap
+FROM m JOIN btot bt USING (bench_id)
+WHERE m.matched * 1.0 / bt.bench_shingles >= 0.8
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, oracle-checked: documents become opaque binary
     payloads (utf-8 bytes), the mapInPandas feature extractor runs with the
@@ -1600,4 +1668,5 @@ REGISTRY: dict[str, tuple] = {
     # module must not touch the testdata
     "sim_ivf_kmeans_topk": (q_ivf_kmeans_topk, _sql_ivf_kmeans_topk),
     "r1_training_examples": (q_training_examples, _sql_training_examples()),
+    "dedup_contamination": (q_contamination, _sql_contamination()),
 }

@@ -249,6 +249,50 @@ def ngram_jaccard_dedup(
     return jaccard_pairs(docs, cands, id_col, content_col, shingle_k, threshold)
 
 
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "docid",
+    content_col: str = "content",
+    bench_id_col: str = "bench_id",
+    bench_content_col: str = "text",
+    shingle_k: int = 8,
+    threshold: float = 0.5,
+    mode: str = "simple",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — the training-data-pipeline twin of
+    dedup: flag corpus docs that contain evaluation-set text, measured as
+    the fraction of a benchmark item's k-token shingles found in the doc
+    (the standard n-gram-overlap decontamination rule used for pretraining
+    corpora).
+
+    Returns (bench_id, docid, matched, bench_shingles, overlap) for pairs
+    with overlap ≥ ``threshold``.
+
+    100-TB plan shape: the benchmark side is eval-set-sized (10^3–10^6
+    short items) — its exploded shingles BROADCAST, so the whole job is
+    one corpus scan → broadcast hash join → one (docid, bench_id)
+    aggregate. No corpus-side shuffle at all until the aggregate on the
+    (tiny) matched pairs."""
+    d_sh = _with_shingles(docs, id_col, content_col, shingle_k, mode).select(
+        "id", F.explode("sh").alias("shingle")
+    )
+    b = _with_shingles(benchmark, bench_id_col, bench_content_col, shingle_k, mode)
+    b_tot = b.select(F.col("id").alias("bench_id"), F.size("sh").alias("bench_shingles"))
+    b_sh = b.select(F.col("id").alias("bench_id"), F.explode("sh").alias("shingle"))
+    matched = (
+        d_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy(F.col("id").alias("docid"), "bench_id")
+        .agg(F.count("*").cast("long").alias("matched"))
+    )
+    return (
+        matched.join(F.broadcast(b_tot), "bench_id")
+        .withColumn("overlap", F.col("matched") / F.col("bench_shingles"))
+        .filter(F.col("overlap") >= threshold)
+        .select("bench_id", "docid", "matched", F.col("bench_shingles").cast("long").alias("bench_shingles"), "overlap")
+    )
+
+
 def simhash(
     docs: DataFrame,
     id_col: str = "docid",
