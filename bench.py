@@ -453,9 +453,10 @@ def main() -> None:
                 "(job scheduling, GC, memory bus, Arrow setup) are NOT replicated the way they are "
                 "across real executors — a conservative floor.\n\n"
             )
+            n_emu_q = int(os.environ.get("LLMRS_EMU_QUERIES", "4096"))
             f.write(
                 f"## Executor emulation: 1 vs 4 concurrent warm 6-core JVMs "
-                f"(same input: {n_docs} docs / 1024 queries)\n\n"
+                f"(same input: {n_docs} docs / {n_emu_q} queries)\n\n"
             )
             f.write(
                 "Each worker is a separate JVM (its own session, python workers, 8g memory), "

@@ -50,7 +50,7 @@ def _collect_runs(df):
     return out
 
 
-@pytest.mark.parametrize("method", ["exhaustive", "wand", "auto"])
+@pytest.mark.parametrize("method", ["exhaustive", "wand", "auto", "wand_dat"])
 def test_rank_identical_to_oracle(index, queries, oracle, method):
     got = _collect_runs(search(index, queries, k=10, method=method))
     qids_with_hits = {q for q, hits in oracle.items() if hits}
