@@ -132,6 +132,11 @@ def emu_worker(role: str, worker_id: int, n_workers: int, input_path: str, sync_
         # serving model is a long-lived executor with a page-cache-resident
         # index (cold-scan IO is a one-time cost, not per-batch)
         idx.postings.select(F.sum(F.length("docs_blob"))).collect()
+        # ...and the scoring path itself (numpy import, codec decode, WAND
+        # kernel JIT, Arrow UDF pipeline): a long-lived serving executor is
+        # past its first batch, and round-4 raw pairs showed the first
+        # timed batch paying ~6 s of this one-time cost at the 4-JVM point
+        search(idx, bench_queries(spark, n=16), k=10, method="wand").count()
         # batch sized so per-JVM work dominates the fixed per-batch cost
         # (plan + job scheduling ≈ 2 s): round 3's vectorized WAND doubled
         # single-JVM throughput, which at 1024 queries made the emulation
@@ -164,6 +169,8 @@ def emu_worker(role: str, worker_id: int, n_workers: int, input_path: str, sync_
     else:
         search(idx, qs, k=10, method="wand").count()
     wall = time.perf_counter() - t0
+    if role == "build":
+        shutil.rmtree(out_dir, ignore_errors=True)  # outside the timed wall
     with open(out_path, "w") as f:
         json.dump({"worker": worker_id, "rows": n_rows, "wall": wall}, f)
     spark.stop()
@@ -462,7 +469,7 @@ def main() -> None:
                 "Each worker is a separate JVM (its own session, python workers, 8g memory), "
                 "barrier-started after warm-up — the faithful N vs 4N executor model: "
                 "`build` partitions the corpus by docid hash (document-partitioned segments, "
-                "queryable via the segment-merge search), `query` partitions the 1024-query batch "
+                f"queryable via the segment-merge search), `query` partitions the {n_emu_q}-query batch "
                 "over the SAME full index (query-load scaling).\n\n"
             )
             f.write("| stage | unit | throughput @1 JVM | throughput @4 JVMs | efficiency (thr4 / 4·thr1) |\n")

@@ -496,7 +496,18 @@ def search(
     postings = _prune_buckets(index.postings, meta, terms_df)
     if shards is not None:
         postings = postings.filter(F.col("shard").isin([int(s) for s in shards]))
-    cand = postings.join(F.broadcast(terms_df), "term", "left_semi")
+    term_list = distinct_terms if df_in_rows else live_terms
+    if len(term_list) <= 512:
+        # literal IN predicate: reaches the parquet scan as a PushedFilter,
+        # so row groups whose term min/max excludes the batch are skipped
+        # without decoding (the pack writes terms SORTED within each bucket
+        # file, making the stats selective). A broadcast semi-join cannot
+        # prune below the join operator. Bounded to small batches — a huge
+        # IN list bloats the plan; big batches keep the semi-join (and
+        # belong on search_distributed anyway).
+        cand = postings.filter(F.col("term").isin(term_list))
+    else:
+        cand = postings.join(F.broadcast(terms_df), "term", "left_semi")
 
     score_n_docs = n_docs if df_in_rows else None
     partial = cand.groupBy("shard").applyInPandas(
