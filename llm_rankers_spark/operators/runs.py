@@ -202,6 +202,39 @@ def fuse_runs(run1: DataFrame, run2: DataFrame, alpha: float = 0.5) -> DataFrame
     return rerank_by_score(fused)
 
 
+def fuse_runs_many(runs: list[DataFrame], weights: list[float]) -> DataFrame:
+    """N-run weighted min-max fusion — the general form of
+    Rank-R1/hybrid.py:30-51 ``fuse(runs, weights)`` (the CLI there wires
+    two runs; the function itself takes any number). Each run is per-qid
+    min-max normalized; a doc absent from a run contributes 0 from it.
+
+    Plan shape: each run is normalized independently (one small per-qid
+    agg + join each), then ONE n-way full-outer merge via unionByName +
+    groupBy(qid, docid) sum — no iterated pairwise joins, so the merge is
+    a single shuffle regardless of N."""
+    if len(runs) != len(weights) or not runs:
+        raise ValueError("runs and weights must be non-empty and same length")
+
+    parts = []
+    for i, (run, wgt) in enumerate(zip(runs, weights)):
+        mm = run.groupBy("qid").agg(F.max("score").alias("mx"), F.min("score").alias("mn"))
+        parts.append(
+            run.join(mm, "qid")
+            .withColumn(
+                "c",
+                (F.col("score") - F.col("mn"))
+                / F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-9))
+                * F.lit(float(wgt)),
+            )
+            .select("qid", "docid", "c")
+        )
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    fused = allc.groupBy("qid", "docid").agg(F.sum("c").alias("score"))
+    return rerank_by_score(fused)
+
+
 def ndcg_at_k(run: DataFrame, qrels: DataFrame, k: int = 10) -> DataFrame:
     """S8 (Rank-R1/bright/eval.sh:3-4, trec_eval ndcg_cut.10) as a pure
     DataFrame job: per-qid NDCG@k, unjudged docs rel=0, ideal DCG from the

@@ -172,3 +172,52 @@ def test_append_trec_run_truncated_tail_recovered(spark, run, tmp_path):
         by_qid.setdefault(ln[0], []).append(ln)
     assert set(by_qid) == {"q0", "q1", "q2"}
     assert [ln[3] for ln in by_qid["q1"]] == [str(i) for i in range(1, len(by_qid["q1"]) + 1)]
+
+
+def test_fuse_runs_many_matches_reference_fuse(spark):
+    # N-way fusion (hybrid.py:30-51 takes any number of runs): engine vs a
+    # line-faithful local port of fuse() on 3 runs with weights
+    from llm_rankers_spark.operators.runs import fuse_runs_many
+
+    runs_py = [
+        {"q1": {"a": 10.0, "b": 5.0, "c": 1.0}, "q2": {"x": 3.0, "y": 2.0}},
+        {"q1": {"b": 7.0, "c": 6.0}, "q2": {"x": 9.0, "z": 1.0}},
+        {"q1": {"a": 2.0, "d": 1.0}, "q2": {"y": 4.0, "z": 3.0}},
+    ]
+    weights = [0.5, 0.3, 0.2]
+
+    def local_fuse(runs, weights):
+        out = {}
+        qids = set().union(*[set(r) for r in runs])
+        for qid in qids:
+            out[qid] = {}
+            docs = set().union(*[set(r.get(qid, {})) for r in runs])
+            for doc in docs:
+                s = 0.0
+                for r, w in zip(runs, weights):
+                    d = r.get(qid, {})
+                    if doc in d:
+                        mn, mx = min(d.values()), max(d.values())
+                        s += w * ((d[doc] - mn) / max(mx - mn, 1e-9))
+                out[qid][doc] = s
+        return out
+
+    want = local_fuse(runs_py, weights)
+    dfs = [
+        spark.createDataFrame(
+            [(q, d, s) for q, docs in r.items() for d, s in docs.items()],
+            "qid string, docid string, score double",
+        )
+        for r in runs_py
+    ]
+    got = fuse_runs_many(dfs, weights)
+    got_m = {(r["qid"], r["docid"]): r["score"] for r in got.collect()}
+    assert set(got_m) == {(q, d) for q, docs in want.items() for d in docs}
+    for (q, d), s in got_m.items():
+        assert abs(s - want[q][d]) < 1e-12, (q, d)
+    # two-run special case equals fuse_runs(alpha)
+    from llm_rankers_spark.operators.runs import fuse_runs
+
+    a = {(r["qid"], r["docid"], r["rank"]) for r in fuse_runs(dfs[0], dfs[1], alpha=0.7).collect()}
+    b = {(r["qid"], r["docid"], r["rank"]) for r in fuse_runs_many(dfs[:2], [0.7, 0.3]).collect()}
+    assert a == b
