@@ -179,21 +179,37 @@ def _slim_ordinals(
 
 def _pack_and_write(
     spark: SparkSession, td: DataFrame, path: str, avgdl: float, k1: float, b: float,
-    bake_df: bool = True,
+    bake_df: bool = True, pack_group: str = "bucket",
 ) -> None:
     """Pack posting lists per (term, shard) and write hive-partitioned by
     term bucket. ``td``: (ord, dl, term, tf, shard) real postings only.
 
-    The pack groups by BUCKET alone (bucket = hash(term) % num_buckets is a
-    pure function of the term), so every shard-chunk of a term lands in the
-    same group — which is what lets layout v3's global per-term df be
-    counted IN the pack UDF (rows per term in the group == corpus df, one
-    row per (doc, term)). Round-3 cost this replaced: a second full
-    checkpoint scan for groupBy(term).count + a broadcast join that bounded
-    the vocabulary at ~10^7 terms; both gone, any vocabulary size packs.
-    Task-size lever at scale: one group = one bucket ≈ index/num_buckets —
-    size ``num_buckets`` so a bucket fits an executor's Arrow budget
-    (num_buckets is per-index meta; query pruning adapts automatically)."""
+    ``pack_group`` picks the pack-task grouping — a task-memory vs
+    build-cost trade-off with a hot-term skew bound:
+
+    - ``'bucket'`` (default): group by bucket alone (bucket =
+      hash(term) % num_buckets is a pure function of the term), so every
+      shard-chunk of a term lands in one group and layout v3's global
+      per-term df is a row count INSIDE the pack UDF — no second scan, no
+      broadcast, no vocabulary bound. Task-size bound: one group holds a
+      whole bucket INCLUDING the full posting list of its hottest term, so
+      this mode requires max_df × ~24 B to fit the executor's Arrow
+      budget. True for segment-scoped builds (the 10^12-file architecture
+      builds document-partitioned segments, each bounded) and any corpus
+      to ~10^8-10^9 docs.
+    - ``'shard_bucket'``: group by (shard, bucket) — a hot term splits
+      across all shards, so per-task rows are bounded by the SHARD's
+      bucket share regardless of term skew (the doc-range salting story).
+      Global df then cannot be counted in-group; it comes from a slim
+      (term)-projection count over the pre-pack rows, broadcast-joined
+      onto the packed rows (one extra columnar scan; broadcast bounds the
+      vocabulary at ~10^7 terms — beyond that use bake_df=False/layout v2).
+      Pick this for monolithic builds where one term's postings exceed a
+      task (df ≳ 10^9)."""
+
+    if pack_group not in ("bucket", "shard_bucket"):
+        raise ValueError(f"unknown pack_group {pack_group!r}")
+    in_group_df = bake_df and pack_group == "bucket"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["term", "ord"])
@@ -236,7 +252,7 @@ def _pack_and_write(
             frame = pd.DataFrame({
                 "term": terms[s_starts], "shard": shards_arr[s_starts], "bucket": bucket, **cols,
             })
-            if bake_df:
+            if in_group_df:
                 frame["df"] = chunk_df[small]
             frames.append(frame)
         if (~small).any():
@@ -244,7 +260,7 @@ def _pack_and_write(
                 "term", "shard", "bucket", "n", "docs_blob", "tfs_blob", "dls_blob",
                 "block_last", "block_max_tfn", "doc_offs", "tf_offs", "dl_offs",
             )}
-            if bake_df:
+            if in_group_df:
                 out["df"] = []
             for st, c, cdf in zip(starts[~small], counts[~small], chunk_df[~small]):
                 p = codec.pack_postings(
@@ -263,14 +279,21 @@ def _pack_and_write(
                 out["doc_offs"].append(p.doc_offs.tolist())
                 out["tf_offs"].append(p.tf_offs.tolist())
                 out["dl_offs"].append(p.dl_offs.tolist())
-                if bake_df:
+                if in_group_df:
                     out["df"].append(int(cdf))
             frames.append(pd.DataFrame(out))
         return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
-    schema = POSTINGS_SCHEMA + (", df long" if bake_df else "")
+    schema = POSTINGS_SCHEMA + (", df long" if in_group_df else "")
     td_b = td.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)))
-    postings = td_b.groupBy("bucket").applyInPandas(lambda key, pdf: pack(pdf), schema=schema)
+    group_cols = ["bucket"] if pack_group == "bucket" else ["shard", "bucket"]
+    postings = td_b.groupBy(*group_cols).applyInPandas(lambda key, pdf: pack(pdf), schema=schema)
+    if bake_df and not in_group_df:
+        # shard_bucket mode: global df from a slim (term) count over the
+        # pre-pack rows (map-side combinable; one row per (doc, term) so
+        # count == df), broadcast onto the packed rows
+        df_tbl = td.groupBy("term").agg(F.count("*").alias("df"))
+        postings = postings.join(F.broadcast(df_tbl), "term")
     # hive-partitioned by term bucket: a selective query computes its terms'
     # buckets and statically prunes 63/64 of the files at the scan. Each pack
     # task holds whole (shard, bucket) groups → bounded file fan-out. shard
@@ -372,6 +395,7 @@ def build_index_from_forward(
     k1: float = codec.DEFAULT_K1,
     b: float = codec.DEFAULT_B,
     bake_df: bool = True,
+    pack_group: str = "bucket",
 ) -> InvertedIndex:
     """Build an index from an already-tokenized forward table — the entry
     point for segment COMPACTION (streaming/index_stream.py): merging
@@ -413,7 +437,7 @@ def build_index_from_forward(
         .withColumn("shard", (F.col("ord") / F.lit(shard_size)).cast("int"))
         .select("ord", "dl", "term", "tf", "shard")
     )
-    _pack_and_write(spark, td, path, avgdl, k1, b, bake_df=bake_df)
+    _pack_and_write(spark, td, path, avgdl, k1, b, bake_df=bake_df, pack_group=pack_group)
     return _manifest_and_meta(
         spark, path, n_docs, avgdl, fp, num_shards, shard_size, tokenizer_mode, k1, b,
         layout_version=LAYOUT_VERSION if bake_df else 2,
@@ -430,6 +454,7 @@ def build_index(
     resume: bool = False,
     keep_forward: bool = False,
     bake_df: bool = True,
+    pack_group: str = "bucket",
 ) -> InvertedIndex:
     """Build the index from ``docs(docid, content[, content_sha256])``.
 
@@ -438,6 +463,9 @@ def build_index(
     (docid, term, tf, dl) table without re-tokenizing. ``bake_df=False``
     writes layout v2 (no per-row global df — for vocabularies too large to
     broadcast at build; query paths then run a per-batch df job).
+    ``pack_group='shard_bucket'`` bounds pack-task memory under extreme
+    hot-term skew (see :func:`_pack_and_write`) at the cost of one extra
+    slim scan for the df bake.
 
     Plan shape (all shuffles are on keys we immediately exploit):
       tokenize (Arrow UDF) → ordinal assignment (range shuffle on docid)
@@ -577,7 +605,7 @@ def build_index(
     # corpus has millions of rare identifier terms, and per-group Arrow
     # overhead on millions of tiny groups dominates; bucketing amortizes it
     # while each term still packs independently inside the group.
-    _pack_and_write(spark, td, path, avgdl, k1, b, bake_df=bake_df)
+    _pack_and_write(spark, td, path, avgdl, k1, b, bake_df=bake_df, pack_group=pack_group)
     _phase("pack_write")
 
     wall = time.perf_counter() - _build_start

@@ -99,6 +99,26 @@ def test_search_distributed_chunked_equals_unchunked(index, queries):
     assert a == b
 
 
+def test_pack_group_modes_rank_identical(spark, corpus, queries, index, tmp_path_factory):
+    # pack_group='shard_bucket' bounds pack-task memory under hot-term skew
+    # (a task never holds a whole hot posting list); results must equal the
+    # default bucket-grouped build exactly
+    path = str(tmp_path_factory.mktemp("idx_sb"))
+    idx_sb = build_index(
+        corpus.select("docid", "content", "content_sha256"), path,
+        num_shards=4, pack_group="shard_bucket",
+    )
+    assert idx_sb.meta.layout_version == 3  # df baked via slim agg + broadcast
+    a = _collect_runs(search(index, queries, k=10, method="wand"))
+    b = _collect_runs(search(idx_sb, queries, k=10, method="wand"))
+    assert a == b
+    with pytest.raises(ValueError):
+        build_index(
+            corpus.select("docid", "content", "content_sha256"),
+            str(tmp_path_factory.mktemp("idx_bad")), num_shards=4, pack_group="nope",
+        )
+
+
 def test_tree_merge_equals_single_window(spark, corpus, queries, tmp_path_factory):
     # round-3 verdict #8: the fanin-ary tree merge (the 10^5-shard serving
     # path) must be result-identical to the one-window merge. 16 shards
