@@ -136,6 +136,45 @@ def load_index(spark: SparkSession, path: str) -> InvertedIndex:
     return InvertedIndex(spark, path, meta)
 
 
+# below this row count the ordinal table is driver-built and broadcast —
+# the same small-side decision a broadcast join makes; above it the
+# distributed range-sort path runs (kept deliberately low: a driver-built
+# local relation serializes through the driver, so past ~10^5 rows the
+# distributed waves win — and the scaling benches stay on the
+# scale-shaped path)
+DRIVER_ORDINALS_MAX = 65_536
+
+
+def _ordinals_auto(
+    docs_slim: DataFrame, extra_cols: tuple[tuple[str, str], ...] = ()
+) -> tuple[DataFrame, int, DataFrame | None]:
+    """Adaptive ordinal assignment. Small corpora (≤ DRIVER_ORDINALS_MAX,
+    decided by a metadata-fast parquet count) sort docids on the driver and
+    broadcast the (docid, ord) table — two cheap jobs instead of the range
+    sample + persist + per-partition count waves, which dominate small
+    builds (measured ~2.4 s of a 10.6 s sf0.1 build). Large corpora (and
+    inputs with duplicate docids, which the driver path cannot order
+    deterministically) take :func:`_slim_ordinals` unchanged.
+
+    Returns (ords_df, n_docs, slim_handle_or_None); callers must unpersist
+    the handle when present (slim path only)."""
+    spark = docs_slim.sparkSession
+    n = docs_slim.count()
+    if n <= DRIVER_ORDINALS_MAX:
+        rows = docs_slim.collect()
+        ids = [r[0] for r in rows]
+        if len(set(ids)) == len(ids):
+            order = sorted(range(len(ids)), key=lambda i: ids[i])
+            extra = "".join(f", {c} {t}" for c, t in extra_cols)
+            data = [(*rows[i], o) for o, i in enumerate(order)]
+            ords = spark.createDataFrame(data, f"docid string{extra}, ord long")
+            return ords, n, None
+        # duplicate docids: fall through — the distributed path assigns
+        # every row an ordinal (arbitrary-but-unique among duplicates)
+    ords, n_docs, slim = _slim_ordinals(docs_slim, extra_cols)
+    return ords, n_docs, slim
+
+
 def _slim_ordinals(
     docs_slim: DataFrame, extra_cols: tuple[tuple[str, str], ...] = ()
 ) -> tuple[DataFrame, int, DataFrame]:
@@ -408,7 +447,7 @@ def build_index_from_forward(
     Docids must be unique across the input (streaming segments are
     append-only, so cross-segment duplicates indicate an upstream bug)."""
     spark = fwd.sparkSession
-    ords, n_docs, slim = _slim_ordinals(
+    ords, n_docs, slim = _ordinals_auto(
         docs_meta.select("docid", "dl", "content_sha256"),
         extra_cols=(("dl", "long"), ("content_sha256", "string")),
     )
@@ -423,7 +462,8 @@ def build_index_from_forward(
         F.sum(F.crc32(F.col("docid"))).alias("crc"),
     )
     doc_map_out.write.mode("overwrite").parquet(os.path.join(path, "doc_map"))
-    slim.unpersist()  # ords fully materialized by the doc_map write
+    if slim is not None:
+        slim.unpersist()  # ords fully materialized by the doc_map write
     doc_map_df = spark.read.parquet(os.path.join(path, "doc_map"))
     stats = obs.get
     avgdl = float(stats["sum_dl"] or 0) / n_docs if n_docs else 0.0
@@ -522,7 +562,7 @@ def build_index(
     # ordinal table joins back (broadcast when it fits, hash join beyond);
     # measured: shuffling+persisting the token arrays cost a core-count-
     # independent ~15s per 100k docs, the slim pass is milliseconds.
-    ords, n_docs, slim = _slim_ordinals(docs.select("docid"))
+    ords, n_docs, slim = _ordinals_auto(docs.select("docid"))
     _phase("slim_ordinals")
 
     shard_size = max(1, -(-n_docs // num_shards))
@@ -581,7 +621,8 @@ def build_index(
         .option("compression", os.environ.get("LLMRS_CKPT_CODEC", "zstd"))
         .parquet(td_path)
     )
-    slim.unpersist()  # ords fully materialized into the checkpoint write
+    if slim is not None:
+        slim.unpersist()  # ords fully materialized into the checkpoint write
     stats = obs.get
     avgdl = float(stats["sum_dl"] or 0) / n_docs if n_docs else 0.0
     fp = f"{n_docs}:{stats['crc']}"

@@ -99,6 +99,30 @@ def test_search_distributed_chunked_equals_unchunked(index, queries):
     assert a == b
 
 
+def test_driver_ordinals_equal_distributed(spark, corpus, queries, index, tmp_path_factory, monkeypatch):
+    # the adaptive driver-side ordinal path (small corpora) must produce a
+    # rank-identical index to the distributed range-sort path
+    from llm_rankers_spark.operators import index_build as ib
+
+    monkeypatch.setattr(ib, "DRIVER_ORDINALS_MAX", 0)  # force the slim path
+    path = str(tmp_path_factory.mktemp("idx_slimpath"))
+    idx_slim = build_index(corpus.select("docid", "content", "content_sha256"), path, num_shards=4)
+    a = _collect_runs(search(index, queries, k=10, method="wand"))  # driver path (fixture)
+    b = _collect_runs(search(idx_slim, queries, k=10, method="wand"))
+    assert a == b
+
+
+def test_ordinals_auto_duplicate_docids_fall_back(spark):
+    from llm_rankers_spark.operators.index_build import _ordinals_auto
+
+    df = spark.createDataFrame([("d1",), ("d2",), ("d1",)], "docid string")
+    ords, n, slim = _ordinals_auto(df)
+    assert n == 3 and slim is not None  # distributed path (handle returned)
+    got = sorted((r["docid"], r["ord"]) for r in ords.collect())
+    assert [o for _, o in got] == [0, 1, 2]  # every row still gets a unique ordinal
+    slim.unpersist()
+
+
 def test_pack_group_modes_rank_identical(spark, corpus, queries, index, tmp_path_factory):
     # pack_group='shard_bucket' bounds pack-task memory under hot-term skew
     # (a task never holds a whole hot posting list); results must equal the
