@@ -53,9 +53,11 @@ def _jvm_fs(path: str):
 
 def read_text(path: str) -> str:
     if not has_scheme(path):
-        # newline="" disables universal-newline translation: both branches
-        # return the file's bytes decoded as-is (round-3 ADVICE)
-        with open(path, newline="") as f:
+        # newline="" disables universal-newline translation and utf-8 is
+        # pinned (the scheme branch hard-decodes utf-8; the platform locale
+        # must not make the branches diverge): both branches return the
+        # file's bytes decoded identically (round-3 ADVICE + round-4 review)
+        with open(path, newline="", encoding="utf-8") as f:
             return f.read()
     jvm, fs, p = _jvm_fs(path)
     stream = fs.open(p)
@@ -73,7 +75,7 @@ def read_text(path: str) -> str:
 def write_text(path: str, content: str) -> None:
     if not has_scheme(path):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        with open(path, "w") as f:
+        with open(path, "w", encoding="utf-8") as f:
             f.write(content)
         return
     _jvm, fs, p = _jvm_fs(path)
@@ -90,7 +92,7 @@ def append_text(path: str, content: str) -> None:
     the parquet stage resume (plans/pipeline.py) instead; this raises with
     that hint rather than silently truncating."""
     if not has_scheme(path):
-        with open(path, "a") as f:
+        with open(path, "a", encoding="utf-8") as f:
             f.write(content)
         return
     _jvm, fs, p = _jvm_fs(path)

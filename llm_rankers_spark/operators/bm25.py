@@ -606,7 +606,7 @@ def search_distributed(
                 index,
                 queries.filter(F.pmod(F.xxhash64("qid"), F.lit(query_chunks)) == c),
                 k=k, method=method, k1=k1, b=b, tag=tag, stats_override=stats_override,
-                prune_buckets=prune_buckets,
+                prune_buckets=prune_buckets, merge=merge, merge_fanin=merge_fanin,
             )
             for c in range(query_chunks)
         ]

@@ -429,10 +429,10 @@ def _cc_two_phase_star(und: DataFrame, max_iter: int, stats: dict | None = None)
     Each phase is one groupBy(min) + one join, shuffling on the node id —
     identical per-round cost to a label iteration, but path lengths halve
     every round, so chains converge in O(log n) rounds instead of O(n).
-    Convergence = the canonical edge set reaches a fixed point, checked by
-    a metadata-sized (count, checksum) action per round (exact equality is
-    implied: each round's output is a deterministic function of the edge
-    SET, so an unchanged set stays unchanged forever).
+    Convergence = the canonical edge set reaches a fixed point. A
+    metadata-sized (count, checksum) action per round is the fast filter;
+    on a signature match, one anti-join confirms exact set equality before
+    the fixed point is declared (a checksum alone could collide).
     """
     nodes = und.select(F.col("a").alias("id")).union(und.select(F.col("b").alias("id"))).distinct().persist()
     edges = (
@@ -452,46 +452,59 @@ def _cc_two_phase_star(und: DataFrame, max_iter: int, stats: dict | None = None)
     sig = _sig(edges)
     converged = False
     iters = 0
-    for _ in range(max_iter):
-        iters += 1
-        # --- large-star ---------------------------------------------------
-        sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        m = sym.groupBy("a").agg(F.min("b").alias("mn"))
-        m = m.select("a", F.least("mn", "a").alias("m"))
-        large = (
-            sym.join(m, "a")
-            .filter(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
+    try:
+        for _ in range(max_iter):
+            iters += 1
+            # --- large-star -----------------------------------------------
+            sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            m = sym.groupBy("a").agg(F.min("b").alias("mn"))
+            m = m.select("a", F.least("mn", "a").alias("m"))
+            large = (
+                sym.join(m, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            # --- small-star -----------------------------------------------
+            # canonical (a > b) edges ARE the smaller-neighborhood view
+            sm = large.groupBy("a").agg(F.min("b").alias("m"))
+            small = (
+                large.join(sm, "a")
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .union(sm.select("a", F.col("m").alias("b")))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint()
+            )
+            new_sig = _sig(small)
+            if new_sig == sig:
+                # the signature (count, crc-sum) is necessary but not
+                # sufficient — a 32-bit commutative sum can collide across
+                # different edge sets (round-4 review finding). Counts are
+                # equal here, so new ⊆ old ⟺ sets equal: confirm with one
+                # anti-join over the two checkpointed frames before
+                # declaring the fixed point.
+                changed = small.join(edges, ["a", "b"], "left_anti").limit(1).count()
+                edges = small
+                if changed == 0:
+                    converged = True
+                    break
+            else:
+                edges = small
+            sig = new_sig
+        if stats is not None:
+            stats["iterations"] = iters
+        if not converged:
+            raise RuntimeError(
+                f"connected_components(method='star') did not converge in {max_iter} rounds"
+            )
+        # fixed point = star edges (u → component min); roots have no out-edge
+        return (
+            nodes.join(edges.select(F.col("a").alias("id"), F.col("b").alias("r")), "id", "left")
+            .select("id", F.coalesce("r", "id").alias("root"))
         )
-        # --- small-star ---------------------------------------------------
-        # canonical (a > b) edges ARE the smaller-neighborhood view
-        sm = large.groupBy("a").agg(F.min("b").alias("m"))
-        small = (
-            large.join(sm, "a")
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .union(sm.select("a", F.col("m").alias("b")))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint()
-        )
-        new_sig = _sig(small)
-        edges = small
-        if new_sig == sig:
-            converged = True
-            break
-        sig = new_sig
-    if stats is not None:
-        stats["iterations"] = iters
-    if not converged:
-        raise RuntimeError(
-            f"connected_components(method='star') did not converge in {max_iter} rounds"
-        )
-    # fixed point = star edges (u → component min); roots have no out-edge
-    out = (
-        nodes.join(edges.select(F.col("a").alias("id"), F.col("b").alias("r")), "id", "left")
-        .select("id", F.coalesce("r", "id").alias("root"))
-    )
-    nodes.unpersist()
-    return out
+    finally:
+        # unpersist on the raise path too (round-4 review finding — the
+        # same cached-partition leak class as the round-2 slim_ordinals fix)
+        nodes.unpersist()

@@ -149,7 +149,7 @@ def _ordinals_auto(
     docs_slim: DataFrame, extra_cols: tuple[tuple[str, str], ...] = ()
 ) -> tuple[DataFrame, int, DataFrame | None]:
     """Adaptive ordinal assignment. Small corpora (≤ DRIVER_ORDINALS_MAX,
-    decided by a metadata-fast parquet count) sort docids on the driver and
+    decided by a short-circuiting limit probe) sort docids on the driver and
     broadcast the (docid, ord) table — two cheap jobs instead of the range
     sample + persist + per-partition count waves, which dominate small
     builds (measured ~2.4 s of a 10.6 s sf0.1 build). Large corpora (and
@@ -159,7 +159,11 @@ def _ordinals_auto(
     Returns (ords_df, n_docs, slim_handle_or_None); callers must unpersist
     the handle when present (slim path only)."""
     spark = docs_slim.sparkSession
-    n = docs_slim.count()
+    # bounded probe, not a full count: limit(N+1) short-circuits the scan,
+    # so large COMPUTED inputs (filtered/derived frames, not bare parquet)
+    # don't pay an extra full pass just to learn they're big (round-4
+    # review finding)
+    n = docs_slim.limit(DRIVER_ORDINALS_MAX + 1).count()
     if n <= DRIVER_ORDINALS_MAX:
         rows = docs_slim.collect()
         ids = [r[0] for r in rows]
@@ -218,7 +222,7 @@ def _slim_ordinals(
 
 def _pack_and_write(
     spark: SparkSession, td: DataFrame, path: str, avgdl: float, k1: float, b: float,
-    bake_df: bool = True, pack_group: str = "bucket",
+    bake_df: bool = True, pack_group: str = "bucket", num_buckets: int = NUM_BUCKETS,
 ) -> None:
     """Pack posting lists per (term, shard) and write hive-partitioned by
     term bucket. ``td``: (ord, dl, term, tf, shard) real postings only.
@@ -230,12 +234,14 @@ def _pack_and_write(
       hash(term) % num_buckets is a pure function of the term), so every
       shard-chunk of a term lands in one group and layout v3's global
       per-term df is a row count INSIDE the pack UDF — no second scan, no
-      broadcast, no vocabulary bound. Task-size bound: one group holds a
-      whole bucket INCLUDING the full posting list of its hottest term, so
-      this mode requires max_df × ~24 B to fit the executor's Arrow
-      budget. True for segment-scoped builds (the 10^12-file architecture
-      builds document-partitioned segments, each bounded) and any corpus
-      to ~10^8-10^9 docs.
+      broadcast, no vocabulary bound. Task-size bound: one pack task
+      materializes a WHOLE bucket (≈ total postings / num_buckets — not
+      just its hottest term's list) and pack parallelism is capped at
+      num_buckets, so size ``num_buckets`` ≈ total_postings × ~24 B /
+      executor task budget (it is per-index meta; query-time bucket
+      pruning adapts automatically). Right for segment-scoped builds (the
+      10^12-file architecture builds bounded document-partitioned
+      segments) and small-to-mid corpora at the default 64 buckets.
     - ``'shard_bucket'``: group by (shard, bucket) — a hot term splits
       across all shards, so per-task rows are bounded by the SHARD's
       bucket share regardless of term skew (the doc-range salting story).
@@ -324,7 +330,7 @@ def _pack_and_write(
         return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
     schema = POSTINGS_SCHEMA + (", df long" if in_group_df else "")
-    td_b = td.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(NUM_BUCKETS)))
+    td_b = td.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)))
     group_cols = ["bucket"] if pack_group == "bucket" else ["shard", "bucket"]
     postings = td_b.groupBy(*group_cols).applyInPandas(lambda key, pdf: pack(pdf), schema=schema)
     if bake_df and not in_group_df:
@@ -354,6 +360,7 @@ def _manifest_and_meta(
     b: float,
     layout_version: int = LAYOUT_VERSION,
     build_metrics: dict | None = None,
+    num_buckets: int = NUM_BUCKETS,
 ) -> InvertedIndex:
     shard_stats = (
         spark.read.parquet(os.path.join(path, "postings"))
@@ -390,7 +397,7 @@ def _manifest_and_meta(
         k1=k1,
         b=b,
         input_fingerprint=fp,
-        num_buckets=NUM_BUCKETS,
+        num_buckets=num_buckets,
         layout_version=layout_version,
     )
     fsio.write_json(_meta_path(path), meta.__dict__)
@@ -435,6 +442,7 @@ def build_index_from_forward(
     b: float = codec.DEFAULT_B,
     bake_df: bool = True,
     pack_group: str = "bucket",
+    num_buckets: int = NUM_BUCKETS,
 ) -> InvertedIndex:
     """Build an index from an already-tokenized forward table — the entry
     point for segment COMPACTION (streaming/index_stream.py): merging
@@ -477,10 +485,13 @@ def build_index_from_forward(
         .withColumn("shard", (F.col("ord") / F.lit(shard_size)).cast("int"))
         .select("ord", "dl", "term", "tf", "shard")
     )
-    _pack_and_write(spark, td, path, avgdl, k1, b, bake_df=bake_df, pack_group=pack_group)
+    _pack_and_write(
+        spark, td, path, avgdl, k1, b, bake_df=bake_df, pack_group=pack_group,
+        num_buckets=num_buckets,
+    )
     return _manifest_and_meta(
         spark, path, n_docs, avgdl, fp, num_shards, shard_size, tokenizer_mode, k1, b,
-        layout_version=LAYOUT_VERSION if bake_df else 2,
+        layout_version=LAYOUT_VERSION if bake_df else 2, num_buckets=num_buckets,
     )
 
 
@@ -495,6 +506,7 @@ def build_index(
     keep_forward: bool = False,
     bake_df: bool = True,
     pack_group: str = "bucket",
+    num_buckets: int = NUM_BUCKETS,
 ) -> InvertedIndex:
     """Build the index from ``docs(docid, content[, content_sha256])``.
 
@@ -646,13 +658,16 @@ def build_index(
     # corpus has millions of rare identifier terms, and per-group Arrow
     # overhead on millions of tiny groups dominates; bucketing amortizes it
     # while each term still packs independently inside the group.
-    _pack_and_write(spark, td, path, avgdl, k1, b, bake_df=bake_df, pack_group=pack_group)
+    _pack_and_write(
+        spark, td, path, avgdl, k1, b, bake_df=bake_df, pack_group=pack_group,
+        num_buckets=num_buckets,
+    )
     _phase("pack_write")
 
     wall = time.perf_counter() - _build_start
     idx = _manifest_and_meta(
         spark, path, n_docs, avgdl, fp, num_shards, shard_size, tokenizer_mode, k1, b,
-        layout_version=expected_layout,
+        layout_version=expected_layout, num_buckets=num_buckets,
         build_metrics={
             "phase_seconds": _phase_seconds,
             "wall_seconds": round(wall, 3),

@@ -184,22 +184,9 @@ def fuse_runs(run1: DataFrame, run2: DataFrame, alpha: float = 0.5) -> DataFrame
     equal for score-sorted TREC input.
     """
 
-    def norm(run: DataFrame, out: str) -> DataFrame:
-        mm = run.groupBy("qid").agg(F.max("score").alias("mx"), F.min("score").alias("mn"))
-        return (
-            run.join(mm, "qid")
-            .withColumn(out, (F.col("score") - F.col("mn")) / F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-9)))
-            .select("qid", "docid", out)
-        )
-
-    n1 = norm(run1, "s1")
-    n2 = norm(run2, "s2")
-    fused = (
-        n1.join(n2, ["qid", "docid"], "full_outer")
-        .withColumn("score", F.coalesce("s1", F.lit(0.0)) * alpha + F.coalesce("s2", F.lit(0.0)) * (1.0 - alpha))
-        .select("qid", "docid", "score")
-    )
-    return rerank_by_score(fused)
+    # one normalization implementation: the 2-run CLI form is the N-run
+    # fuse with weights [alpha, 1-alpha] (equivalence pinned in test_runs)
+    return fuse_runs_many([run1, run2], [alpha, 1.0 - alpha])
 
 
 def fuse_runs_many(runs: list[DataFrame], weights: list[float]) -> DataFrame:

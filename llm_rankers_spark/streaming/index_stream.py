@@ -297,8 +297,14 @@ def start_streaming_dedup_tws(
         StatefulProcessorHandle,
     )
 
+    # queries clone the session conf at start, so setting the provider for
+    # THIS query and restoring afterwards does not leak RocksDB onto later
+    # queries whose checkpoints were written with the default store
+    # (round-4 review finding)
+    _conf_key = "spark.sql.streaming.stateStore.providerClass"
+    _prev_provider = spark.conf.get(_conf_key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _conf_key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
 
@@ -331,14 +337,20 @@ def start_streaming_dedup_tws(
         outputMode="append",
         timeMode="none",
     )
-    return (
-        kept.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint or out_dir + "_checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
+    try:
+        return (
+            kept.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint or out_dir + "_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if _prev_provider is None:
+            spark.conf.unset(_conf_key)
+        else:
+            spark.conf.set(_conf_key, _prev_provider)
 
 
 def streaming_sessionize(
