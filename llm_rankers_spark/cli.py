@@ -81,8 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_s.add_argument("--out", required=True, help="TREC run output dir")
     p_s.add_argument("--hits", type=int, default=100)
     p_s.add_argument("--method", default="auto", choices=["auto", "wand", "exhaustive"])
-    p_s.add_argument("--distributed", action="store_true",
-                     help="fully-distributed query plan (10^5+ query batches)")
+    p_s.add_argument("--plan", default="auto", choices=["auto", "driver", "distributed"],
+                     help="physical query plan; 'auto' (default) probes the batch "
+                          "size and picks driver-planned vs fully-distributed — "
+                          "the explicit values are overrides")
     p_s.add_argument("--single-file", action="store_true")
     _add_common(p_s)
 
@@ -139,13 +141,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "search":
-        from llm_rankers_spark.operators.bm25 import search, search_distributed
+        from llm_rankers_spark.operators.bm25 import search
         from llm_rankers_spark.operators.index_build import load_index
         from llm_rankers_spark.operators.runs import write_trec_run
 
         idx = load_index(spark, args.index)
-        fn = search_distributed if args.distributed else search
-        run = fn(idx, _load_queries(spark, args.queries), k=args.hits, method=args.method)
+        run = search(idx, _load_queries(spark, args.queries), k=args.hits,
+                     method=args.method, plan=args.plan)
         write_trec_run(run, args.out, single_file=args.single_file)
         print(json.dumps({"trec_path": args.out}))
         return 0

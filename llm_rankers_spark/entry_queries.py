@@ -1206,7 +1206,7 @@ import functools
 
 
 @functools.lru_cache(maxsize=4)
-def _kmeans_centroids_cached(sf_dir: str) -> tuple:
+def _kmeans_centroids_cached(sf_dir: str, _file_key: tuple = ()) -> tuple:
     import duckdb
     import numpy as np
 
@@ -1227,11 +1227,18 @@ def oracle_kmeans_centroids(sf_dir: str | None = None) -> list[list[float]]:
     IVF_KMEANS_SAMPLE vectors by vec_id, cast to double) fetched through
     DuckDB, same shared k-means kernel — engine-independent by
     construction."""
-    # memoized per sf_dir (round-4 review finding: test harnesses resolve
-    # every oracle repeatedly — the parquet read + k-means must not rerun
-    # per resolution)
+    # memoized per (sf_dir, file mtime+size) — the file key guards against a
+    # regenerated embeddings parquet within one process silently serving
+    # stale centroids (round-4 ADVICE); path-only caching assumed immutable
+    # testdata
     sf_dir = sf_dir or _oracle_sf_dir()
-    return [list(c) for c in _kmeans_centroids_cached(sf_dir)]
+    pq = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(pq)
+        file_key = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        file_key = ()
+    return [list(c) for c in _kmeans_centroids_cached(sf_dir, file_key)]
 
 
 def _sql_ivf_kmeans_topk() -> str:

@@ -400,7 +400,81 @@ def _prune_buckets(postings: DataFrame, meta, terms_df: DataFrame) -> DataFrame:
     return postings.filter(F.col("bucket").isin(buckets))
 
 
+# above this many queries the driver-planned path's collect + per-task
+# closure dict stop being "small data" and the batch belongs on the
+# cogrouped distributed plan. The same small-side cutoff logic as
+# DRIVER_ORDINALS_MAX: decided by a short-circuiting limit probe, so the
+# dispatcher never pays a full count of a large computed query frame.
+DRIVER_QUERY_PLAN_MAX = 1024
+
+
 def search(
+    index: InvertedIndex,
+    queries: DataFrame,
+    k: int = 10,
+    method: str = "wand",
+    k1: float | None = None,
+    b: float | None = None,
+    tag: str = "llm_rankers_spark",
+    stats_override: tuple | None = None,
+    shards: list[int] | None = None,
+    plan: str = "auto",
+    merge: str = "window",
+    merge_fanin: int = 64,
+    query_chunks: int = 1,
+    prune_buckets: bool = True,
+    plan_out: dict | None = None,
+) -> DataFrame:
+    """BM25 top-k — ONE entry point that picks the physical strategy.
+
+    The reference exposes a single search command (``search.sh:4-9``,
+    Pyserini ``LuceneSearcher.batch_search``); mirroring that, this
+    dispatcher probes the query-batch size with a bounded
+    ``limit(N+1).count()`` (the ``_ordinals_auto`` pattern — never a full
+    count) and routes:
+
+    - ``≤ DRIVER_QUERY_PLAN_MAX`` queries → :func:`_search_driver_planned`
+      (tokenize + weight on the driver, plan rides in the task closure —
+      the reranking-batch shape, fewest jobs);
+    - larger batches → :func:`search_distributed` (the plan stays a
+      DataFrame cogrouped with shard postings — no collect anywhere).
+
+    ``plan`` overrides: ``'driver'`` / ``'distributed'`` force a path
+    (``'auto'`` default). ``shards`` (serving a shard subset) implies the
+    driver path — per-subset calls are the sharded-serving unit and are
+    reranking-sized by construction. ``merge``/``merge_fanin``/
+    ``query_chunks``/``prune_buckets`` apply to the distributed plan only.
+    ``plan_out``, when a dict, receives ``{'plan': ..., 'probe_n': ...}``
+    so callers/tests can observe the dispatch without re-probing.
+    """
+    if plan not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown plan {plan!r}")
+    chosen = plan
+    probe_n = None
+    if plan == "auto":
+        if shards is not None:
+            chosen = "driver"
+        else:
+            probe_n = queries.limit(DRIVER_QUERY_PLAN_MAX + 1).count()
+            chosen = "driver" if probe_n <= DRIVER_QUERY_PLAN_MAX else "distributed"
+    if plan_out is not None:
+        plan_out["plan"] = chosen
+        plan_out["probe_n"] = probe_n
+    if chosen == "distributed":
+        if shards is not None:
+            raise ValueError("shards= is a driver-planned serving knob; use plan='driver'")
+        return search_distributed(
+            index, queries, k=k, method=method, k1=k1, b=b, tag=tag,
+            stats_override=stats_override, query_chunks=query_chunks,
+            prune_buckets=prune_buckets, merge=merge, merge_fanin=merge_fanin,
+        )
+    return _search_driver_planned(
+        index, queries, k=k, method=method, k1=k1, b=b, tag=tag,
+        stats_override=stats_override, shards=shards,
+    )
+
+
+def _search_driver_planned(
     index: InvertedIndex,
     queries: DataFrame,
     k: int = 10,

@@ -379,6 +379,7 @@ def connected_components(
     edges = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     edges = edges.persist()
     labels = edges.select("a").distinct().withColumn("label", F.col("a"))
+    prev_ckpt: DataFrame | None = None
     converged = False
     iters = 0
     for _ in range(max_iter):
@@ -399,6 +400,13 @@ def connected_components(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the changed-count action has materialized new_labels' checkpoint,
+        # so the PREVIOUS round's blocks are now dead — release them instead
+        # of letting cached RDD blocks accumulate one per round until the
+        # session GCs (round-4 ADVICE; bounded by rounds, unbounded by graph)
+        if prev_ckpt is not None:
+            _release_local_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels
         if changed == 0:
             converged = True
@@ -413,6 +421,24 @@ def connected_components(
             "method='star', which needs only O(log n) rounds"
         )
     return labels.select(F.col("a").alias("id"), F.col("label").alias("root"))
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the cached blocks behind a ``localCheckpoint()``-ed frame.
+
+    Spark's cache manager only tracks ``persist()`` registrations, so
+    ``Dataset.unpersist()`` is a no-op for local checkpoints; the blocks
+    live until the backing RDD is garbage-collected. The iterative CC loops
+    produce one checkpoint per round, so without an explicit release the
+    dead rounds' blocks pile up proportionally to graph size (round-4
+    ADVICE). Reach the checkpointed RDD through the analyzed ``LogicalRDD``
+    and unpersist it directly; best-effort — if the internal surface ever
+    shifts, this degrades to the old wait-for-GC behavior rather than
+    failing the job."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _cc_two_phase_star(und: DataFrame, max_iter: int, stats: dict | None = None) -> DataFrame:
@@ -478,6 +504,7 @@ def _cc_two_phase_star(und: DataFrame, max_iter: int, stats: dict | None = None)
                 .localCheckpoint()
             )
             new_sig = _sig(small)
+            prev = edges
             if new_sig == sig:
                 # the signature (count, crc-sum) is necessary but not
                 # sufficient — a 32-bit commutative sum can collide across
@@ -485,13 +512,18 @@ def _cc_two_phase_star(und: DataFrame, max_iter: int, stats: dict | None = None)
                 # equal here, so new ⊆ old ⟺ sets equal: confirm with one
                 # anti-join over the two checkpointed frames before
                 # declaring the fixed point.
-                changed = small.join(edges, ["a", "b"], "left_anti").limit(1).count()
+                changed = small.join(prev, ["a", "b"], "left_anti").limit(1).count()
                 edges = small
+                _release_local_checkpoint(prev)
                 if changed == 0:
                     converged = True
                     break
             else:
                 edges = small
+                # the _sig action materialized this round's checkpoint; the
+                # previous round's blocks are dead — release them now
+                # (round-4 ADVICE)
+                _release_local_checkpoint(prev)
             sig = new_sig
         if stats is not None:
             stats["iterations"] = iters

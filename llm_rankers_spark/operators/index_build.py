@@ -166,8 +166,13 @@ def _ordinals_auto(
     n = docs_slim.limit(DRIVER_ORDINALS_MAX + 1).count()
     if n <= DRIVER_ORDINALS_MAX:
         rows = docs_slim.collect()
+        # the probe and the collect are two separate jobs — for a
+        # non-deterministic input frame they can disagree, so the count the
+        # caller records MUST come from the rows actually materialized
+        # (round-4 ADVICE), re-checked against the cap
+        n = len(rows)
         ids = [r[0] for r in rows]
-        if len(set(ids)) == len(ids):
+        if n <= DRIVER_ORDINALS_MAX and len(set(ids)) == len(ids):
             order = sorted(range(len(ids)), key=lambda i: ids[i])
             extra = "".join(f", {c} {t}" for c, t in extra_cols)
             data = [(*rows[i], o) for o, i in enumerate(order)]

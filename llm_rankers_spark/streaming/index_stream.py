@@ -330,14 +330,18 @@ def start_streaming_dedup_tws(
         def close(self) -> None:
             pass
 
-    stream = spark.readStream.schema(schema).parquet(input_dir)
-    kept = stream.groupBy("content_sha256").transformWithStateInPandas(
-        statefulProcessor=KeepFirst(),
-        outputStructType=schema,
-        outputMode="append",
-        timeMode="none",
-    )
+    # the try opens BEFORE stream construction: readStream /
+    # transformWithStateInPandas can themselves raise, and the provider
+    # override must not leak onto the shared session in that case either
+    # (round-4 ADVICE)
     try:
+        stream = spark.readStream.schema(schema).parquet(input_dir)
+        kept = stream.groupBy("content_sha256").transformWithStateInPandas(
+            statefulProcessor=KeepFirst(),
+            outputStructType=schema,
+            outputMode="append",
+            timeMode="none",
+        )
         return (
             kept.writeStream.outputMode("append")
             .format("parquet")

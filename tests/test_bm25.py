@@ -99,6 +99,56 @@ def test_search_distributed_chunked_equals_unchunked(index, queries):
     assert a == b
 
 
+def test_auto_dispatch_small_batch_takes_driver_plan(index, queries):
+    # one entry point (round-4 verdict #3): a reranking-sized batch routes to
+    # the driver-planned path and all three plan values are rank-identical
+    out = {}
+    a = _collect_runs(search(index, queries, k=10, plan="auto", plan_out=out))
+    assert out["plan"] == "driver" and out["probe_n"] == 24
+    b = _collect_runs(search(index, queries, k=10, plan="driver"))
+    c = _collect_runs(search(index, queries, k=10, plan="distributed"))
+    assert a == b == c
+
+
+def test_auto_dispatch_large_batch_takes_distributed_plan(spark, index):
+    from llm_rankers_spark.operators.bm25 import DRIVER_QUERY_PLAN_MAX
+
+    # 10^4-query batch built distributedly — never collected by the
+    # dispatcher: the probe is limit(N+1).count(), so probe_n is capped at
+    # N+1 regardless of the true batch size (no full count, no collect)
+    big = spark.range(10_000).select(
+        F.concat(F.lit("q"), F.col("id").cast("string")).alias("qid"),
+        F.lit("parse query").alias("query"),
+    )
+    out = {}
+    df = search(index, big, k=10, plan="auto", plan_out=out)
+    assert out["plan"] == "distributed"
+    assert out["probe_n"] == DRIVER_QUERY_PLAN_MAX + 1  # bounded probe, short-circuited
+    # the distributed plan contains the cogroup (FlatMapCoGroupsInPandas),
+    # which the driver-planned path never produces
+    assert "FlatMapCoGroupsInPandas" in df._jdf.queryExecution().optimizedPlan().toString()
+
+    # just above the cutoff: execute end-to-end through the same entry point
+    # and check it equals the forced driver plan
+    mid = spark.range(DRIVER_QUERY_PLAN_MAX + 8).select(
+        F.concat(F.lit("q"), F.col("id").cast("string")).alias("qid"),
+        F.lit("parse query").alias("query"),
+    )
+    out2 = {}
+    got = _collect_runs(search(index, mid, k=5, plan="auto", plan_out=out2))
+    assert out2["plan"] == "distributed"
+    want = _collect_runs(search(index, mid, k=5, plan="driver"))
+    assert got == want
+
+
+def test_auto_dispatch_shards_imply_driver_plan(index, queries):
+    out = {}
+    search(index, queries, k=10, shards=[0, 1], plan="auto", plan_out=out)
+    assert out["plan"] == "driver" and out["probe_n"] is None
+    with pytest.raises(ValueError, match="shards"):
+        search(index, queries, k=10, shards=[0], plan="distributed")
+
+
 def test_driver_ordinals_equal_distributed(spark, corpus, queries, index, tmp_path_factory, monkeypatch):
     # the adaptive driver-side ordinal path (small corpora) must produce a
     # rank-identical index to the distributed range-sort path
