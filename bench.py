@@ -275,8 +275,15 @@ def run_workload(master: str, sf_dir: str, scale_only: bool = False) -> dict[str
         )
         times["build"] = time.perf_counter() - t0
 
+        # ONE first-stage search, reused by the rerank stage below (round-4
+        # verdict #6: the r4 bench re-searched inside rerank_prep, double-
+        # counting ~3.5 s of first-stage work the real pipeline pays once).
+        # k=20 because that IS the pipeline's hits budget for the reranker.
         t0 = time.perf_counter()
-        search(idx, qs, k=10, method="wand").count()
+        first = search(idx, qs, k=20, method="wand")
+        if not scale_only:
+            first = first.persist()
+        first.count()
         times["bm25_wand"] = time.perf_counter() - t0
 
         if not scale_only:
@@ -286,16 +293,16 @@ def run_workload(master: str, sf_dir: str, scale_only: bool = False) -> dict[str
             bm25_dataframe_from_index(idx, qs, k=10).count()
             times["bm25_sql"] = time.perf_counter() - t0
 
-            # r2 verdict #10: the old 'rerank' number was ~90% first-stage
-            # search + text join; split so each is visible (sum unchanged)
+            # rerank_prep = candidate assembly only (text attach + query
+            # join) over the retained first-stage run
             t0 = time.perf_counter()
-            first = search(idx, qs, k=20, method="auto")
             cands = (
                 attach_text(first, docs).join(qs, "qid")
                 .select("qid", "query", "docid", "rank", "text").persist()
             )
             cands.count()
             times["rerank_prep"] = time.perf_counter() - t0
+            first.unpersist()
 
             t0 = time.perf_counter()
             rerank(cands, method="setwise.heapsort", comparator=MockComparator(), k=10, num_child=2).count()
@@ -552,6 +559,12 @@ def main() -> None:
         out["bm25_dist4096_sec"] = round(extras["bm25_dist4096"], 3)
     if "minhash_cold" in extras:
         out["minhash_cold_sec"] = round(extras["minhash_cold"], 3)
+    out["protocol_notes"] = (
+        "r5 protocol change vs r4: bm25_wand is the pipeline's single "
+        "first-stage search at k=20 and rerank_prep REUSES that run "
+        "(candidate assembly only) — r4 re-searched inside rerank_prep, "
+        "double-counting ~3.5s of first-stage work the pipeline pays once"
+    )
     print(json.dumps(out))
 
 

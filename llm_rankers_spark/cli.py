@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
     p_idx.add_argument("--docs", required=True)
     p_idx.add_argument("--out", required=True)
     p_idx.add_argument("--resume", action="store_true")
+    p_idx.add_argument("--num-buckets", type=int, default=None,
+                       help="term-hash buckets the postings are hive-partitioned "
+                            "by (pruning granularity; default 64)")
+    p_idx.add_argument("--pack-group", choices=["bucket", "shard_bucket"], default="bucket",
+                       help="pack-task grouping: 'bucket' counts df in-task "
+                            "(fewest jobs); 'shard_bucket' bounds task memory "
+                            "under extreme hot-term skew")
     _add_common(p_idx)
 
     p_s = sub.add_parser("search", help="BM25 top-k over a built index")
@@ -107,6 +114,15 @@ def build_parser() -> argparse.ArgumentParser:
     p_r.add_argument("--no-resume", action="store_true")
     _add_common(p_r)
 
+    p_f = sub.add_parser("fuse", help="weighted min-max fusion of N TREC runs (hybrid.py:54-80)")
+    p_f.add_argument("--runs", required=True, nargs="+", help="TREC run files/dirs to fuse")
+    p_f.add_argument("--weights", type=float, nargs="+", default=None,
+                     help="one weight per run (default: equal weights)")
+    p_f.add_argument("--out", required=True, help="fused TREC run output dir")
+    p_f.add_argument("--tag", default="fused")
+    p_f.add_argument("--single-file", action="store_true")
+    _add_common(p_f)
+
     p_p = sub.add_parser("prep", help="corpus prep: quality -> exact dedup -> near-dup clusters")
     p_p.add_argument("--docs", required=True)
     p_p.add_argument("--work-dir", required=True, help="stage outputs; clean corpus at <work-dir>/clean")
@@ -118,6 +134,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_p.add_argument("--shingle-k", type=int, default=3)
     p_p.add_argument("--cc-method", choices=["label", "star"], default="label",
                      help="connected-components solver: star = O(log n) rounds for long-path dup graphs")
+    p_p.add_argument("--benchmark", default=None,
+                     help="parquet of eval items (bench_id, text); adds a "
+                          "decontamination stage dropping docs whose shingle "
+                          "overlap with any item reaches the threshold")
+    p_p.add_argument("--contamination-shingle-k", type=int, default=8)
+    p_p.add_argument("--contamination-threshold", type=float, default=0.8)
     p_p.add_argument("--no-resume", action="store_true")
     _add_common(p_p)
 
@@ -131,13 +153,18 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(master=args.master)
 
     if args.cmd == "index":
-        from llm_rankers_spark.operators.index_build import build_index
+        from llm_rankers_spark.operators.index_build import NUM_BUCKETS, build_index
 
         idx = build_index(
             _load_corpus(spark, args.docs), args.out,
             tokenizer_mode=args.tokenizer_mode, num_shards=args.num_shards, resume=args.resume,
+            pack_group=args.pack_group,
+            num_buckets=args.num_buckets if args.num_buckets is not None else NUM_BUCKETS,
         )
-        print(json.dumps({"n_docs": idx.meta.n_docs, "avgdl": idx.meta.avgdl, "path": args.out}))
+        print(json.dumps({
+            "n_docs": idx.meta.n_docs, "avgdl": idx.meta.avgdl, "path": args.out,
+            "num_buckets": idx.meta.num_buckets,
+        }))
         return 0
 
     if args.cmd == "search":
@@ -177,6 +204,19 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"trec_path": out["trec_path"], "metrics": out["metrics"]}))
         return 0
 
+    if args.cmd == "fuse":
+        from llm_rankers_spark.operators.runs import fuse_runs_many, read_trec_run, write_trec_run
+
+        weights = args.weights if args.weights is not None else [1.0] * len(args.runs)
+        if len(weights) != len(args.runs):
+            print(json.dumps({"error": "need one weight per run"}))
+            return 2
+        runs = [read_trec_run(spark, p) for p in args.runs]
+        fused = fuse_runs_many(runs, weights)
+        write_trec_run(fused, args.out, tag=args.tag, single_file=args.single_file)
+        print(json.dumps({"trec_path": args.out, "n_runs": len(runs), "weights": weights}))
+        return 0
+
     if args.cmd == "prep":
         from llm_rankers_spark.plans.prep import run_prep_pipeline
 
@@ -191,6 +231,9 @@ def main(argv: list[str] | None = None) -> int:
             minhash_bands=args.minhash_bands,
             shingle_k=args.shingle_k,
             cc_method=args.cc_method,
+            benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
+            contamination_shingle_k=args.contamination_shingle_k,
+            contamination_threshold=args.contamination_threshold,
             resume=not args.no_resume,
         )
         print(json.dumps({"counts": counts, "clean_path": f"{args.work_dir}/clean"}))

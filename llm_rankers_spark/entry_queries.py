@@ -411,6 +411,47 @@ SELECT dcg.qid, round(dcg.dcg / ideal.idcg, 6) AS ndcg FROM dcg JOIN ideal USING
 """
 
 
+def q_ndcg10_graded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 graded variant (round-4 verdict #10): qrels carry the full TREC
+    graded scale rel ∈ {0,1,2,3} (doc_id mod 4, including explicit judged-
+    irrelevant rows) so the 2^rel−1 gain path — not just the binary
+    degenerate case — sits under the oracle."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mods = spark.createDataFrame([(f"r{m}", m) for m in RUN_MODS], "qid string, m int")
+    qrels = d.join(mods, F.pmod(F.col("doc_id"), F.lit(14)) == F.col("m")).select(
+        "qid",
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"),
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("rel"),
+    )
+    out = runs_ops.ndcg_at_k(_runs_df(spark, sf_dir), qrels, k=10)
+    return out.select("qid", F.round("ndcg", 6).alias("ndcg"))
+
+
+SQL_NDCG_GRADED = f"""
+WITH {SQL_RUNS},
+qrels AS (
+  SELECT 'r' || m.m AS qid, lpad(doc_id::VARCHAR, 10, '0') AS docid,
+         (doc_id % 4)::INTEGER AS rel
+  FROM documents JOIN (VALUES (0), (1), (2)) AS m(m) ON doc_id % 14 = m.m
+),
+judged AS (
+  SELECT r.qid, r.rank AS pos, coalesce(q.rel, 0) AS rel
+  FROM runs r LEFT JOIN qrels q ON r.qid = q.qid AND r.docid = q.docid
+),
+dcg AS (
+  SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(pos + 1.0)) AS dcg
+  FROM judged WHERE pos <= 10 GROUP BY qid
+),
+ideal AS (
+  SELECT qid, sum((pow(2.0, rel) - 1.0) / log2(pos + 1.0)) AS idcg FROM (
+    SELECT qid, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, docid ASC) AS pos
+    FROM qrels WHERE rel > 0
+  ) WHERE pos <= 10 GROUP BY qid
+)
+SELECT dcg.qid, round(dcg.dcg / ideal.idcg, 6) AS ndcg FROM dcg JOIN ideal USING (qid)
+"""
+
+
 # ---------------------------------------------------------------------------
 # rerank loops with md5-relevance mock comparator (SQL-twinned because the
 # comparator is transitive: heapsort/allpair/full-window-listwise are exact)
@@ -1489,13 +1530,22 @@ PREP_MIN_WORDS = 20
 def q_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integration oracle for the corpus-prep pipeline: quality gate
     (n_words ≥ 20, alpha_ratio ≥ 0.5) → exact dedup (min docid per text) →
-    MinHash-LSH pair → connected-components cluster → drop non-roots. The
-    whole chain — including the resumable stage machinery it runs through —
-    must land on exactly the SQL's surviving set."""
+    MinHash-LSH pair → connected-components cluster → drop non-roots →
+    benchmark decontamination (every-50th-doc excerpts as the synthetic
+    eval set, same scheme as dedup_contamination). The whole chain —
+    including the resumable stage machinery it runs through — must land on
+    exactly the SQL's surviving set."""
+    from llm_rankers_spark.functions.tokenize import tokens_col
     from llm_rankers_spark.plans.prep import run_prep_pipeline
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("docid"), F.col("text").alias("content")
+    )
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"), mode="simple")
+    bench = raw.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0).select(
+        F.concat(F.lit("b"), F.lpad(F.col("doc_id").cast("string"), 10, "0")).alias("bench_id"),
+        F.array_join(F.slice(toks, 1, DECON_EXCERPT_TOKENS), " ").alias("text"),
     )
     tag = os.path.basename(os.path.normpath(sf_dir))
     wd = os.path.join(tempfile.gettempdir(), f"llmrs_entry_prep_{tag}")
@@ -1503,12 +1553,19 @@ def q_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, d, wd,
         min_words=PREP_MIN_WORDS, minhash_hashes=MH_LSH_HASHES, minhash_bands=MH_LSH_BANDS,
         shingle_k=MH_SHINGLE_K, minhash_hash_fn="md5",
+        benchmark=bench, contamination_shingle_k=DECON_K, contamination_threshold=0.8,
     )
     clean = spark.read.parquet(os.path.join(wd, "clean"))
     return clean.select("docid", "content_sha256")
 
 
 def _sql_prep_pipeline() -> str:
+    k, ex = DECON_K, DECON_EXCERPT_TOKENS
+    tok = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), x -> x <> '')"
+    sh = (
+        "list_distinct(CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')] "
+        "ELSE [array_to_string(t[i + 1 : i + {k}], ' ') FOR i IN range(0, len(t) - {k} + 1)] END)"
+    ).format(k=k)
     return f"""
 WITH RECURSIVE
 base AS (SELECT lpad(doc_id::VARCHAR, 10, '0') AS docid, text FROM documents),
@@ -1528,10 +1585,35 @@ exact AS (
   JOIN (SELECT min(docid) AS docid FROM kept GROUP BY text) m ON k.docid = m.docid
 ),
 {_sql_minhash_pair_ctes(source="exact").strip()},
-{_SQL_CLOSURE_CTES.strip()}
-SELECT e.docid, sha256(e.text) AS content_sha256
-FROM exact e
-WHERE e.docid NOT IN (SELECT id FROM roots WHERE id <> root)
+{_SQL_CLOSURE_CTES.strip()},
+survivors AS (
+  SELECT e.docid, e.text FROM exact e
+  WHERE e.docid NOT IN (SELECT id FROM roots WHERE id <> root)
+),
+bench AS (
+  SELECT 'b' || lpad(doc_id::VARCHAR, 10, '0') AS bench_id,
+         array_to_string(({tok.format(c='text')})[1 : {ex}], ' ') AS btext
+  FROM documents WHERE doc_id % 50 = 0
+),
+dcsh AS (
+  SELECT docid, unnest({sh}) AS shingle
+  FROM (SELECT docid, {tok.format(c='text')} AS t FROM survivors)
+),
+bcsha AS (SELECT bench_id, {sh} AS shs FROM (SELECT bench_id, {tok.format(c='btext')} AS t FROM bench)),
+bctot AS (SELECT bench_id, len(shs)::BIGINT AS bench_shingles FROM bcsha),
+bcsh AS (SELECT bench_id, unnest(shs) AS shingle FROM bcsha),
+cm AS (
+  SELECT ds.docid, bs.bench_id, count(*)::BIGINT AS matched
+  FROM dcsh ds JOIN bcsh bs USING (shingle)
+  GROUP BY ds.docid, bs.bench_id
+),
+contaminated AS (
+  SELECT DISTINCT cm.docid FROM cm JOIN bctot bt USING (bench_id)
+  WHERE cm.matched * 1.0 / bt.bench_shingles >= 0.8
+)
+SELECT s.docid, sha256(s.text) AS content_sha256
+FROM survivors s
+WHERE s.docid NOT IN (SELECT docid FROM contaminated)
 """
 
 
@@ -1645,6 +1727,7 @@ REGISTRY: dict[str, tuple] = {
     "f7_inverse_rank": (q_inverse_rank, SQL_INVERSE),
     "j4_a4_fusion": (q_fusion, SQL_FUSION),
     "s8_ndcg10": (q_ndcg10, SQL_NDCG),
+    "s8_ndcg10_graded": (q_ndcg10_graded, SQL_NDCG_GRADED),
     "t4_setwise_heapsort": (q_setwise_heapsort, SQL_TOPK_ASSEMBLY),
     "t2_pairwise_heapsort": (q_pairwise_heapsort, SQL_TOPK_ASSEMBLY),
     "a1_pairwise_allpair": (q_pairwise_allpair, SQL_ALLPAIR),

@@ -38,6 +38,11 @@ def run_prep_pipeline(
     shingle_k: int = 3,
     minhash_hash_fn: str = "xxhash64",
     cc_method: str = "label",
+    benchmark: DataFrame | None = None,
+    bench_id_col: str = "bench_id",
+    bench_content_col: str = "text",
+    contamination_shingle_k: int = 8,
+    contamination_threshold: float = 0.8,
     resume: bool = True,
 ) -> dict:
     """``docs``: (docid, content[, content_sha256]). Returns per-stage row
@@ -47,9 +52,16 @@ def run_prep_pipeline(
     1. ``filtered`` — quality gates are pure Catalyst expressions fused
        into the scan (no shuffle at all).
     2. ``exact`` — one shuffle on the content digest; keeper = min docid.
-    3. ``clean`` — MinHash signatures (map-side), banded LSH candidate
-       join, pair→cluster connected components, then an anti-join dropping
-       every cluster member except its root.
+    3. ``neardup`` (``clean`` when no benchmark) — MinHash signatures
+       (map-side), banded LSH candidate join, pair→cluster connected
+       components, then an anti-join dropping every cluster member except
+       its root.
+    4. ``clean`` (only with ``benchmark``) — benchmark decontamination:
+       docs whose shingle overlap with any eval item reaches
+       ``contamination_threshold`` are anti-joined away. The eval set is
+       benchmark-sized, so its shingles broadcast — one scan over the
+       near-dup survivors, no corpus-side shuffle (the standard ordering:
+       dedup first so decontamination scans the smallest corpus).
     """
     if "content_sha256" not in docs.columns:
         docs = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
@@ -59,6 +71,15 @@ def run_prep_pipeline(
         f"w{min_words}-{max_words}|a{min_alpha_ratio}"
         f"|mh{minhash_hashes}x{minhash_bands}k{shingle_k}{minhash_hash_fn}"
     )
+    decon_cfg = ""
+    if benchmark is not None:
+        # the benchmark's identity AND content are config for the
+        # decontamination stage: a changed eval set (or threshold) must
+        # invalidate the cached clean stage exactly like a data change —
+        # but ONLY that stage (scoped to fp_n, not cfg, so swapping eval
+        # sets never recomputes the upstream dedup stages)
+        bench_fp = _fingerprint(benchmark, [bench_id_col, bench_content_col])
+        decon_cfg = f"|dk{contamination_shingle_k}t{contamination_threshold}b{bench_fp}"
     # cc_method is deliberately NOT in the fingerprint: label and star
     # produce identical clusters (only round counts differ), so switching
     # solvers must not invalidate cached stages
@@ -95,8 +116,11 @@ def run_prep_pipeline(
     counts["exact"] = fsio_rows(st2)
 
     # --- 3. near-dup clustering -------------------------------------------
+    # without a benchmark this stage IS the clean corpus; with one it is an
+    # intermediate ("neardup") that the decontamination stage consumes —
+    # the final corpus always lands at <work_dir>/clean either way
     fp_e = f"{fp_f}|{counts['exact']}"
-    st3 = Stage(work_dir, "clean")
+    st3 = Stage(work_dir, "neardup" if benchmark is not None else "clean")
     if not (resume and st3.is_done(fp_e)):
         sigs = dedup_ops.minhash_signatures(
             exact, id_col="docid", content_col="content",
@@ -109,7 +133,25 @@ def run_prep_pipeline(
         drop = cc.filter(F.col("id") != F.col("root")).select(F.col("id").alias("docid"))
         exact.join(drop, "docid", "left_anti").write.mode("overwrite").parquet(st3.path)
         st3.mark(fp_e, {"rows": spark.read.parquet(st3.path).count()})
-    counts["clean"] = fsio_rows(st3)
+    if benchmark is None:
+        counts["clean"] = fsio_rows(st3)
+        return counts
+    counts["neardup"] = fsio_rows(st3)
+    neardup = spark.read.parquet(st3.path)
+
+    # --- 4. benchmark decontamination --------------------------------------
+    fp_n = f"{fp_e}|{counts['neardup']}{decon_cfg}"
+    st4 = Stage(work_dir, "clean")
+    if not (resume and st4.is_done(fp_n)):
+        flagged = dedup_ops.contamination_overlap(
+            neardup, benchmark,
+            bench_id_col=bench_id_col, bench_content_col=bench_content_col,
+            shingle_k=contamination_shingle_k, threshold=contamination_threshold,
+        )
+        contaminated = flagged.select("docid").distinct()
+        neardup.join(contaminated, "docid", "left_anti").write.mode("overwrite").parquet(st4.path)
+        st4.mark(fp_n, {"rows": spark.read.parquet(st4.path).count()})
+    counts["clean"] = fsio_rows(st4)
 
     return counts
 

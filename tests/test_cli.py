@@ -43,6 +43,25 @@ def test_cli_index_then_search(spark, tmp_path):
     assert {ln.split("\t")[0] for ln in lines} == {"q1", "q2"}
 
 
+def test_cli_index_build_knobs_roundtrip(spark, tmp_path):
+    # round-4 verdict #9: build-tuning knobs reachable from the CLI, and the
+    # chosen bucket count survives the meta roundtrip into search
+    idx_dir = str(tmp_path / "cliidx_knobs")
+    res = json.loads(_run_cli(
+        "index", "--docs", f"{SF}/documents.parquet", "--out", idx_dir,
+        "--num-shards", "2", "--num-buckets", "8", "--pack-group", "shard_bucket",
+    ))
+    assert res["num_buckets"] == 8
+
+    from llm_rankers_spark.operators.bm25 import search
+    from llm_rankers_spark.operators.index_build import load_index
+
+    idx = load_index(spark, idx_dir)
+    assert idx.meta.num_buckets == 8
+    qs = spark.createDataFrame([("q1", "spark query join")], "qid string, query string")
+    assert search(idx, qs, k=5, method="wand").count() == 5
+
+
 def test_cli_full_run(spark, tmp_path):
     qpath = str(tmp_path / "q.parquet")
     spark.createDataFrame([("q1", "spark query")], "qid string, query string").write.parquet(qpath)
@@ -53,6 +72,38 @@ def test_cli_full_run(spark, tmp_path):
     ))
     assert os.path.isdir(res["trec_path"])
     assert "rerank_sec" in res["metrics"]
+
+
+def test_cli_fuse_matches_library(spark, tmp_path):
+    # round-4 verdict #5: M4's CLI face (reference hybrid.py:54-80) — fuse
+    # two runs through the subprocess CLI and compare against the library
+    # call on the same inputs
+    from llm_rankers_spark.operators.runs import fuse_runs_many, read_trec_run, write_trec_run
+
+    rows_a = [("q1", "d1", 1, 9.0), ("q1", "d2", 2, 5.0), ("q2", "d3", 1, 3.0)]
+    rows_b = [("q1", "d2", 1, 7.0), ("q1", "d4", 2, 6.5), ("q2", "d3", 1, 1.0)]
+    dirs = []
+    for name, rows in (("a", rows_a), ("b", rows_b)):
+        df = spark.createDataFrame(rows, "qid string, docid string, rank int, score double")
+        d = str(tmp_path / f"run_{name}")
+        write_trec_run(df.withColumn("tag", df.qid.substr(0, 0)), d, tag=name)
+        dirs.append(d)
+
+    out_dir = str(tmp_path / "fused")
+    res = json.loads(_run_cli(
+        "fuse", "--runs", dirs[0], dirs[1], "--weights", "0.7", "0.3",
+        "--out", out_dir, "--tag", "hyb",
+    ))
+    assert res["n_runs"] == 2 and res["weights"] == [0.7, 0.3]
+
+    got = read_trec_run(spark, os.path.join(out_dir, "part-*"))
+    want = fuse_runs_many(
+        [read_trec_run(spark, os.path.join(d, "part-*")) for d in dirs], [0.7, 0.3]
+    )
+    g = [(r["qid"], r["docid"], r["rank"]) for r in got.orderBy("qid", "rank").collect()]
+    w = [(r["qid"], r["docid"], r["rank"]) for r in want.orderBy("qid", "rank").collect()]
+    assert g == w and len(g) == 4  # q1: {d1,d2,d4}, q2: {d3}
+    assert all(r["tag"] == "hyb" for r in got.collect())
 
 
 def test_cli_prep(tmp_path):

@@ -51,6 +51,57 @@ def test_prep_pipeline_stages_and_resume(spark, tmp_path):
     assert counts3["clean"] == 3
 
 
+def test_prep_decontamination_stage(spark, tmp_path):
+    # round-4 verdict #4: a benchmark adds a decontamination stage after
+    # near-dup dedup; the final corpus still lands at <work_dir>/clean
+    wd = str(tmp_path / "prep_decon")
+    docs = _corpus(spark)
+    cfg = dict(min_words=3, minhash_bands=16)
+    # eval item = d04's text verbatim -> d04 is 100% contaminated
+    bench = spark.createDataFrame(
+        [("b1", "completely different content about spark query engines and shuffles")],
+        "bench_id string, text string",
+    )
+    counts = run_prep_pipeline(
+        spark, docs, wd, benchmark=bench, contamination_shingle_k=5, **cfg
+    )
+    assert counts["neardup"] == 2  # same survivors as the no-benchmark clean
+    assert counts["clean"] == 1
+    kept = {r["docid"] for r in spark.read.parquet(os.path.join(wd, "clean")).collect()}
+    assert kept == {"d01"}
+
+    # resume: nothing recomputed with identical benchmark + knobs
+    mt = {s: os.path.getmtime(os.path.join(wd, s)) for s in ("filtered", "exact", "neardup", "clean")}
+    counts2 = run_prep_pipeline(
+        spark, docs, wd, benchmark=bench, contamination_shingle_k=5, **cfg
+    )
+    assert counts2 == counts
+    assert {s: os.path.getmtime(os.path.join(wd, s)) for s in ("filtered", "exact", "neardup", "clean")} == mt
+
+    # a changed eval set invalidates ONLY the decontamination stage — the
+    # upstream dedup stages stay cached
+    bench2 = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps over the lazy dog again and again in the yard")],
+        "bench_id string, text string",
+    )
+    counts3 = run_prep_pipeline(
+        spark, docs, wd, benchmark=bench2, contamination_shingle_k=5, **cfg
+    )
+    assert counts3["clean"] == 1
+    kept3 = {r["docid"] for r in spark.read.parquet(os.path.join(wd, "clean")).collect()}
+    assert kept3 == {"d04"}
+    now = {s: os.path.getmtime(os.path.join(wd, s)) for s in ("filtered", "exact", "neardup")}
+    assert now == {s: mt[s] for s in ("filtered", "exact", "neardup")}
+    assert os.path.getmtime(os.path.join(wd, "clean")) != mt["clean"]
+
+    # threshold is config too: 1.01 can never be reached -> nothing dropped
+    counts4 = run_prep_pipeline(
+        spark, docs, wd, benchmark=bench2, contamination_shingle_k=5,
+        contamination_threshold=1.01, **cfg
+    )
+    assert counts4["clean"] == 2
+
+
 def test_prep_resume_sees_in_place_content_change(spark, tmp_path):
     # round-3 ADVICE (medium): same docids, different content must
     # invalidate the cached stages — the fingerprint covers content_sha256,
