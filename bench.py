@@ -426,11 +426,11 @@ def main() -> None:
             )
         spark.stop()
 
-        # best-of-2 with raw pairs recorded (round-3 verdict #10): the
-        # 1-JVM denominator's run-to-run variance dominated the round-3
-        # ratio spread, so both points repeat and every raw wall lands in
-        # the JSON + BASELINE.md.
-        emu_passes = int(os.environ.get("LLMRS_EMU_PASSES", "2"))
+        # median-of-3 pairs with every raw recorded (round-4 verdict #7:
+        # round-4's two passes measured query efficiency 1.007 then 0.690 —
+        # the 1-JVM denominator's variance IS the spread, so the quoted
+        # number is now the median PAIR efficiency, not a best-of cherry).
+        emu_passes = int(os.environ.get("LLMRS_EMU_PASSES", "3"))
         emu_rows = []
         emu_raws: dict[str, list[dict[str, float]]] = {}
         for role in ("build", "query"):
@@ -443,9 +443,11 @@ def main() -> None:
                      "wall1": round(wall_n, 2), "wall4": round(wall_4n, 2)}
                 )
             emu_raws[role] = pairs
-            thr_n = max(p["thr1"] for p in pairs)
-            thr_4n = max(p["thr4"] for p in pairs)
-            emu_rows.append((role, thr_n, thr_4n, thr_4n / (4.0 * thr_n)))
+            ranked = sorted(pairs, key=lambda p: p["thr4"] / (4.0 * p["thr1"]))
+            med = ranked[len(ranked) // 2]
+            emu_rows.append(
+                (role, med["thr1"], med["thr4"], med["thr4"] / (4.0 * med["thr1"]))
+            )
 
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
@@ -479,7 +481,7 @@ def main() -> None:
                 f"queryable via the segment-merge search), `query` partitions the {n_emu_q}-query batch "
                 "over the SAME full index (query-load scaling).\n\n"
             )
-            f.write("| stage | unit | throughput @1 JVM | throughput @4 JVMs | efficiency (thr4 / 4·thr1) |\n")
+            f.write("| stage | unit | throughput @1 JVM | throughput @4 JVMs | efficiency (thr4 / 4·thr1, MEDIAN pair) |\n")
             f.write("|---|---|---|---|---|\n")
             emu_units = {"build": "docs/s", "query": "queries/s"}
             for role, t1, t4, eff in emu_rows:
@@ -488,7 +490,9 @@ def main() -> None:
             f.write(
                 f"\nProtocol: the measured input is page-cache primed (every byte streamed "
                 f"once) before EVERY point, each (1 JVM, 4 JVM) pair runs {emu_passes}×, the "
-                "table takes the best throughput per point. Build output goes to "
+                "table quotes the MEDIAN pair's efficiency (round-4 verdict #7 — the "
+                "1-JVM denominator's variance dominates the spread, so no best-of "
+                "cherry-picking). Build output goes to "
                 f"{emu_out or 'the shared /tmp spindle (set LLMRS_EMU_OUT=/dev/shm to model per-node executor disks — real 4N clusters do not share one disk; the disk-vs-tmpfs A/B is in BENCH/BUILD_ATTRIBUTION_r04.md)'}. "
                 "Raw pairs:\n\n"
             )

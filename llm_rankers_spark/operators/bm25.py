@@ -780,7 +780,16 @@ def bm25_dataframe_from_index(index: InvertedIndex, queries: DataFrame, k: int =
     k1, b, n_docs, avgdl = m.k1, m.b, float(m.n_docs), float(m.avgdl)
     qt = query_terms(queries, m.tokenizer_mode)
     td_f = index.forward_ords.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
-    td_fd = td_f.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    # per-term df via a SLIM second scan (term column only, map-side
+    # combined to <= batch-terms rows) broadcast back onto the scoring rows.
+    # The round-3/4 window (count() OVER (PARTITION BY term)) shuffled every
+    # matched forward row — (ord, term, tf, dl) — just to learn df: at 100 TB
+    # that is a full matched-postings exchange. Locally the two are within
+    # noise of each other (interleaved warm medians 2.68 s groupBy vs
+    # 2.79 s window; full A/B incl. a slower postings-df variant in
+    # BENCH/BM25_SQL_ATTRIBUTION_r05.md), so the scale-right plan wins.
+    df_tbl = td_f.groupBy("term").agg(F.count("*").alias("df"))
+    td_fd = td_f.join(F.broadcast(df_tbl), "term")
     scored = (
         qt.join(td_fd, "term")
         .withColumn(
@@ -839,9 +848,12 @@ def bm25_dataframe(
         # semi-join on the batch's terms BEFORE computing df: df(term) over
         # the filtered rows equals the global df for exactly those terms,
         # and the full-vocabulary aggregate (one corpus-wide shuffle) never
-        # runs. The window rides the same term-shuffle as the filter output.
+        # runs. df comes from a slim term-only count broadcast back — the
+        # old per-term window shuffled every matched row just to learn df
+        # (see bm25_dataframe_from_index).
         td_f = td.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
-        td_fd = td_f.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+        df_tbl = td_f.groupBy("term").agg(F.count("*").alias("df"))
+        td_fd = td_f.join(F.broadcast(df_tbl), "term")
         scored = (
             qt.join(td_fd, "term")
             .withColumn(

@@ -228,6 +228,7 @@ def _slim_ordinals(
 def _pack_and_write(
     spark: SparkSession, td: DataFrame, path: str, avgdl: float, k1: float, b: float,
     bake_df: bool = True, pack_group: str = "bucket", num_buckets: int = NUM_BUCKETS,
+    explain_out: dict | None = None,
 ) -> None:
     """Pack posting lists per (term, shard) and write hive-partitioned by
     term bucket. ``td``: (ord, dl, term, tf, shard) real postings only.
@@ -344,6 +345,12 @@ def _pack_and_write(
         # count == df), broadcast onto the packed rows
         df_tbl = td.groupBy("term").agg(F.count("*").alias("df"))
         postings = postings.join(F.broadcast(df_tbl), "term")
+    if explain_out is not None:
+        # plan-audit hook (BENCH/capture_plans.py): the packed frame's
+        # physical plan, captured exactly as it will execute in the write
+        explain_out["pack_plan"] = postings._sc._jvm.PythonSQLUtils.explainString(
+            postings._jdf.queryExecution(), "formatted"
+        )
     # hive-partitioned by term bucket: a selective query computes its terms'
     # buckets and statically prunes 63/64 of the files at the scan. Each pack
     # task holds whole (shard, bucket) groups → bounded file fan-out. shard
@@ -512,6 +519,7 @@ def build_index(
     bake_df: bool = True,
     pack_group: str = "bucket",
     num_buckets: int = NUM_BUCKETS,
+    explain_out: dict | None = None,
 ) -> InvertedIndex:
     """Build the index from ``docs(docid, content[, content_sha256])``.
 
@@ -665,7 +673,7 @@ def build_index(
     # while each term still packs independently inside the group.
     _pack_and_write(
         spark, td, path, avgdl, k1, b, bake_df=bake_df, pack_group=pack_group,
-        num_buckets=num_buckets,
+        num_buckets=num_buckets, explain_out=explain_out,
     )
     _phase("pack_write")
 
