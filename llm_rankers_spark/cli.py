@@ -76,10 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_idx.add_argument("--num-buckets", type=int, default=None,
                        help="term-hash buckets the postings are hive-partitioned "
                             "by (pruning granularity; default 64)")
-    p_idx.add_argument("--pack-group", choices=["bucket", "shard_bucket"], default="bucket",
-                       help="pack-task grouping: 'bucket' counts df in-task "
-                            "(fewest jobs); 'shard_bucket' bounds task memory "
-                            "under extreme hot-term skew")
+    p_idx.add_argument("--pack-group", choices=["auto", "bucket", "shard_bucket"], default="auto",
+                       help="pack-task grouping: 'auto' (default) picks by the "
+                            "measured rows-per-bucket cutover; 'bucket' counts df "
+                            "in-task (fewest jobs, small corpora); 'shard_bucket' "
+                            "bounds task memory under scale/hot-term skew")
     _add_common(p_idx)
 
     p_s = sub.add_parser("search", help="BM25 top-k over a built index")

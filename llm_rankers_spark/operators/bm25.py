@@ -419,7 +419,7 @@ def search(
     stats_override: tuple | None = None,
     shards: list[int] | None = None,
     plan: str = "auto",
-    merge: str = "window",
+    merge: str = "auto",
     merge_fanin: int = 64,
     query_chunks: int = 1,
     prune_buckets: bool = True,
@@ -645,7 +645,7 @@ def search_distributed(
     stats_override: tuple | None = None,
     query_chunks: int = 1,
     prune_buckets: bool = True,
-    merge: str = "window",
+    merge: str = "auto",
     merge_fanin: int = 64,
 ) -> DataFrame:
     """BM25 top-k with the query plan kept distributed end to end — the
@@ -662,7 +662,10 @@ def search_distributed(
     by qid range upstream if the replicated plan outgrows executor memory.
 
     ``merge``: how per-shard partial top-k's become the global top-k.
-    ``'window'`` (default) is one ranking window per qid — right up to
+    ``'auto'`` (default) resolves window vs tree on the shard count
+    (cutover at 32 shards with the measured fanin 8 —
+    BENCH/SCALE_PROOF_r05.md: 1.64× at 64 shards × 4096 queries).
+    ``'window'`` is one ranking window per qid — right up to
     ~10^3 shards. ``'tree'`` folds shards in ``merge_fanin``-ary groups
     (each level one window shuffle keeping k per (qid, group)) until one
     group remains — at 10^5 shards the single-window merge funnels
@@ -747,6 +750,16 @@ def search_distributed(
         .applyInPandas(lambda key, lp, rp: scorer(lp, rp), schema=RESULT_SCHEMA)
     )
 
+    if merge == "auto":
+        # measured cutover (BENCH/SCALE_PROOF_r05.md §3): at 64 shards x
+        # 4096 queries the fanin-8 tree merged 1.64x faster than the single
+        # window (186 s vs 304 s, row-identical); at the bench's 16 shards
+        # the window is fine. Resolve tree above 32 shards with the
+        # measured fanin; explicit merge= values honor the caller's fanin.
+        if meta.num_shards > 32:
+            merge, merge_fanin = "tree", 8
+        else:
+            merge = "window"
     if merge == "tree":
         topk = _tree_topk(partial, k, meta.shard_size, meta.num_shards, merge_fanin)
     elif merge == "window":

@@ -225,10 +225,20 @@ def _slim_ordinals(
     return ords, sum(pid_counts.values()), slim
 
 
+# pack-mode cutover (measured, BENCH/SCALE_PROOF_r05.md §3 + crossover
+# sweep): with ~this many postings rows per bucket group the two modes tie
+# (code corpus, 100k docs ≈ 86k rows/bucket: best walls 15.6 s vs 21.1 s);
+# above it the whole-bucket task cost compounds — 300k docs (≈258k
+# rows/bucket) builds 1.5× slower in bucket mode, 10^6 docs (≈860k
+# rows/bucket) 4.3× slower. 'auto' picks bucket (in-group df, fewest
+# jobs) below the budget and shard_bucket above it.
+PACK_BUCKET_MAX_GROUP_ROWS = 150_000
+
+
 def _pack_and_write(
     spark: SparkSession, td: DataFrame, path: str, avgdl: float, k1: float, b: float,
-    bake_df: bool = True, pack_group: str = "bucket", num_buckets: int = NUM_BUCKETS,
-    explain_out: dict | None = None,
+    bake_df: bool = True, pack_group: str = "auto", num_buckets: int = NUM_BUCKETS,
+    n_docs: int | None = None, explain_out: dict | None = None,
 ) -> None:
     """Pack posting lists per (term, shard) and write hive-partitioned by
     term bucket. ``td``: (ord, dl, term, tf, shard) real postings only.
@@ -258,8 +268,14 @@ def _pack_and_write(
       Pick this for monolithic builds where one term's postings exceed a
       task (df ≳ 10^9)."""
 
-    if pack_group not in ("bucket", "shard_bucket"):
+    if pack_group not in ("auto", "bucket", "shard_bucket"):
         raise ValueError(f"unknown pack_group {pack_group!r}")
+    if pack_group == "auto":
+        # rows-per-bucket estimate from stats already in hand (n_docs ×
+        # avgdl ≈ total postings rows) — no extra job. Unknown n_docs
+        # (direct internal callers) keeps the small-corpus default.
+        est = (n_docs * max(avgdl, 1.0) / num_buckets) if n_docs else 0.0
+        pack_group = "bucket" if est <= PACK_BUCKET_MAX_GROUP_ROWS else "shard_bucket"
     in_group_df = bake_df and pack_group == "bucket"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -453,7 +469,7 @@ def build_index_from_forward(
     k1: float = codec.DEFAULT_K1,
     b: float = codec.DEFAULT_B,
     bake_df: bool = True,
-    pack_group: str = "bucket",
+    pack_group: str = "auto",
     num_buckets: int = NUM_BUCKETS,
 ) -> InvertedIndex:
     """Build an index from an already-tokenized forward table — the entry
@@ -499,7 +515,7 @@ def build_index_from_forward(
     )
     _pack_and_write(
         spark, td, path, avgdl, k1, b, bake_df=bake_df, pack_group=pack_group,
-        num_buckets=num_buckets,
+        num_buckets=num_buckets, n_docs=n_docs,
     )
     return _manifest_and_meta(
         spark, path, n_docs, avgdl, fp, num_shards, shard_size, tokenizer_mode, k1, b,
@@ -517,7 +533,7 @@ def build_index(
     resume: bool = False,
     keep_forward: bool = False,
     bake_df: bool = True,
-    pack_group: str = "bucket",
+    pack_group: str = "auto",
     num_buckets: int = NUM_BUCKETS,
     explain_out: dict | None = None,
 ) -> InvertedIndex:
@@ -528,9 +544,12 @@ def build_index(
     (docid, term, tf, dl) table without re-tokenizing. ``bake_df=False``
     writes layout v2 (no per-row global df — for vocabularies too large to
     broadcast at build; query paths then run a per-batch df job).
-    ``pack_group='shard_bucket'`` bounds pack-task memory under extreme
-    hot-term skew (see :func:`_pack_and_write`) at the cost of one extra
-    slim scan for the df bake.
+    ``pack_group='auto'`` (default) resolves bucket vs shard_bucket from
+    the measured rows-per-bucket cutover (``PACK_BUCKET_MAX_GROUP_ROWS``;
+    10^6-doc builds were 4.3× slower in bucket mode —
+    BENCH/SCALE_PROOF_r05.md). ``'shard_bucket'`` bounds pack-task memory
+    under scale and extreme hot-term skew (see :func:`_pack_and_write`) at
+    the cost of one extra slim scan for the df bake.
 
     Plan shape (all shuffles are on keys we immediately exploit):
       tokenize (Arrow UDF) → ordinal assignment (range shuffle on docid)
@@ -673,7 +692,7 @@ def build_index(
     # while each term still packs independently inside the group.
     _pack_and_write(
         spark, td, path, avgdl, k1, b, bake_df=bake_df, pack_group=pack_group,
-        num_buckets=num_buckets, explain_out=explain_out,
+        num_buckets=num_buckets, n_docs=n_docs, explain_out=explain_out,
     )
     _phase("pack_write")
 

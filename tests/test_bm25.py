@@ -193,6 +193,55 @@ def test_pack_group_modes_rank_identical(spark, corpus, queries, index, tmp_path
         )
 
 
+def test_pack_group_auto_resolves_by_scale(spark, corpus, queries, tmp_path_factory, monkeypatch):
+    # 'auto' picks the pack grouping from the rows-per-bucket estimate
+    # (n_docs x avgdl / num_buckets vs the measured cutover): the 300-doc
+    # fixture stays in bucket mode; shrinking the budget to zero must flip
+    # the same build to shard_bucket — and both remain rank-identical
+    from llm_rankers_spark.operators import index_build as ib
+
+    eo_small, eo_big = {}, {}
+    p1 = str(tmp_path_factory.mktemp("idx_auto_small"))
+    idx_small = build_index(
+        corpus.select("docid", "content", "content_sha256"), p1, num_shards=4,
+        pack_group="auto", explain_out=eo_small,
+    )
+    # bucket mode: df counted in-group, so the pack plan has no broadcast
+    # df join
+    assert "BroadcastHashJoin" not in eo_small["pack_plan"]
+
+    monkeypatch.setattr(ib, "PACK_BUCKET_MAX_GROUP_ROWS", 0)
+    p2 = str(tmp_path_factory.mktemp("idx_auto_big"))
+    idx_big = build_index(
+        corpus.select("docid", "content", "content_sha256"), p2, num_shards=4,
+        pack_group="auto", explain_out=eo_big,
+    )
+    # shard_bucket mode: the slim df count arrives via the broadcast join
+    assert "BroadcastHashJoin" in eo_big["pack_plan"]
+    a = _collect_runs(search(idx_small, queries, k=10, method="wand"))
+    b = _collect_runs(search(idx_big, queries, k=10, method="wand"))
+    assert a == b and len(a) > 0
+
+
+def test_merge_auto_resolves_by_shard_count(spark, corpus, queries, index, tmp_path_factory):
+    # merge='auto' (now the default): <=32 shards -> single window; >32
+    # shards -> fanin-8 tree (extra fold level visible as a second Window),
+    # results identical to the explicit window merge either way
+    def n_windows(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().count("Window [row_number()")
+
+    small = search_distributed(index, queries, k=5, merge="auto")  # 4 shards
+    assert n_windows(small) == 1
+
+    path = str(tmp_path_factory.mktemp("idx64"))
+    idx64 = build_index(corpus.select("docid", "content", "content_sha256"), path, num_shards=64)
+    big = search_distributed(idx64, queries, k=5, merge="auto")
+    assert n_windows(big) == 2  # 64 shards -> one fanin-8 fold + final rank
+    a = sorted(map(tuple, big.collect()))
+    b = sorted(map(tuple, search_distributed(idx64, queries, k=5, merge="window").collect()))
+    assert a == b and len(a) > 0
+
+
 def test_tree_merge_equals_single_window(spark, corpus, queries, tmp_path_factory):
     # round-3 verdict #8: the fanin-ary tree merge (the 10^5-shard serving
     # path) must be result-identical to the one-window merge. 16 shards
