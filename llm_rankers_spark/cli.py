@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_r.add_argument("--no-resume", action="store_true")
     _add_common(p_r)
 
+    p_c = sub.add_parser("compact", help="fold streaming index segments into one (the Lucene merge)")
+    p_c.add_argument("--root", required=True, help="segment root (start_index_stream output)")
+    p_c.add_argument("--name", default="segment_compacted")
+    _add_common(p_c)
+
     p_f = sub.add_parser("fuse", help="weighted min-max fusion of N TREC runs (hybrid.py:54-80)")
     p_f.add_argument("--runs", required=True, nargs="+", help="TREC run files/dirs to fuse")
     p_f.add_argument("--weights", type=float, nargs="+", default=None,
@@ -203,6 +208,24 @@ def main(argv: list[str] | None = None) -> int:
             shuffle=args.shuffle,
         )
         print(json.dumps({"trec_path": out["trec_path"], "metrics": out["metrics"]}))
+        return 0
+
+    if args.cmd == "compact":
+        from llm_rankers_spark.streaming.index_stream import compact_segments, list_segments
+
+        before = list_segments(args.root)
+        if not before:
+            # a bad --root must not exit 0 with a plausible-looking JSON
+            # (round-5 review finding): no manifest means nothing to compact
+            print(json.dumps({"error": f"no segment manifest under {args.root}"}))
+            return 2
+        compact_segments(spark, args.root, num_shards=args.num_shards, name=args.name)
+        after = list_segments(args.root)
+        print(json.dumps({
+            "segments": after,
+            "compacted": len(before) > 1,
+            "n_before": len(before),
+        }))
         return 0
 
     if args.cmd == "fuse":

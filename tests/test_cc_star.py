@@ -67,3 +67,23 @@ def test_star_empty_and_self_pairs(spark):
 def test_unknown_method_rejected(spark):
     with pytest.raises(ValueError):
         connected_components(_pairs_df(spark, [("a", "b")]), method="nope")
+
+
+def test_cc_releases_dead_checkpoint_blocks(spark):
+    # round-4 ADVICE: each CC round localCheckpoints a frame; without an
+    # explicit release the dead rounds' cached RDD blocks accumulate
+    # (bounded by rounds, unbounded by graph size). After convergence at
+    # most the LIVE result's blocks (plus the input fixture's cache) may
+    # remain — not one entry per round.
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    chain = _pairs_df(spark, [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(120)])
+    for method in ("star", "label"):
+        base = n_persistent()
+        cc = connected_components(chain, method=method, max_iter=300)
+        cc.count()
+        # a 120-node chain needs ~7 star rounds / ~120 label rounds; the
+        # leak would add one persistent RDD per round
+        grown = n_persistent() - base
+        assert grown <= 2, f"{method}: {grown} persistent RDDs accumulated"

@@ -106,6 +106,43 @@ def test_cli_fuse_matches_library(spark, tmp_path):
     assert all(r["tag"] == "hyb" for r in got.collect())
 
 
+def test_cli_compact_segments(spark, tmp_path):
+    # streaming-segment compaction through the CLI: two segments fold into
+    # one and search results stay rank-identical (library equivalence is
+    # pinned in test_streaming; here the subprocess face)
+    from pyspark.sql import functions as F
+
+    from llm_rankers_spark.corpus import generate_corpus, with_docid
+    from llm_rankers_spark.operators.bm25 import search
+    from llm_rankers_spark.operators.index_build import load_index
+    from llm_rankers_spark.streaming.index_stream import list_segments, start_index_stream
+
+    base, root = str(tmp_path / "in"), str(tmp_path / "segroot")
+    docs = with_docid(generate_corpus(spark, 80, seed=7)).select("docid", "content")
+    docs.filter(F.pmod(F.crc32("docid"), F.lit(2)) == 0).write.parquet(os.path.join(base, "d1"))
+    q = start_index_stream(spark, os.path.join(base, "*"), root, num_shards=2)
+    q.awaitTermination(120)
+    docs.filter(F.pmod(F.crc32("docid"), F.lit(2)) == 1).write.parquet(os.path.join(base, "d2"))
+    q2 = start_index_stream(spark, os.path.join(base, "*"), root, num_shards=2)
+    q2.awaitTermination(120)
+    assert len(list_segments(root)) == 2
+
+    res = json.loads(_run_cli("compact", "--root", root, "--num-shards", "2"))
+    assert res["segments"] == ["segment_compacted"]
+    assert res["compacted"] is True and res["n_before"] == 2
+    idx = load_index(spark, os.path.join(root, "segment_compacted"))
+    qs = spark.createDataFrame([("q1", "parse query")], "qid string, query string")
+    assert search(idx, qs, k=5).count() == 5
+
+    # a bad root must not exit 0 with plausible JSON (round-5 review finding)
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="8")
+    out = subprocess.run(
+        [sys.executable, "-m", "llm_rankers_spark", "compact", "--root", str(tmp_path / "nope")],
+        capture_output=True, text=True, env=env, cwd="/tmp", timeout=420,
+    )
+    assert out.returncode == 2 and "no segment manifest" in out.stdout
+
+
 def test_cli_prep(tmp_path):
     res = json.loads(_run_cli(
         "prep", "--docs", f"{SF}/documents.parquet", "--work-dir", str(tmp_path / "prep"),
