@@ -122,6 +122,23 @@ def emu_worker(role: str, worker_id: int, n_workers: int, input_path: str, sync_
             docs = docs.filter(F.pmod(F.xxhash64("docid"), F.lit(n_workers)) == worker_id)
         docs = docs.persist()
         n_rows = docs.count()  # warm: input read + python workers spin up here
+        # ...and the BUILD path itself (tokenizer pandas-UDF worker spawn +
+        # pandas/pyarrow imports, parquet-writer + codegen JIT, pack-UDF
+        # Arrow pipeline): a long-lived executor fleet indexing 10^12 files
+        # is past its first micro-batch, and the query role warms its
+        # scoring path the same way below. Without this the timed wall
+        # charges ~35s of one-time JVM/python spin-up to the smallest
+        # slice (measured: solo 2-core 25k-doc build 72.7s cold, phase
+        # logs put ~18s fixed in doc_map_write_stats + ~18s in pack_write)
+        # — that measures startup, not scaling.
+        warm_dir = tempfile.mkdtemp(prefix=f"emu_warm_{worker_id}_")
+        try:
+            build_index(
+                docs.limit(256).select("docid", "content", "content_sha256"),
+                warm_dir, tokenizer_mode="code", num_shards=2,
+            )
+        finally:
+            shutil.rmtree(warm_dir, ignore_errors=True)
     else:
         # query-load scaling: worker i serves its slice of the batch over the
         # full index (N executor groups each take 1/N of the query stream —
