@@ -57,6 +57,34 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
+    # Python-worker process environment. Set in os.environ BEFORE the JVM
+    # launches (local mode: pyspark.daemon forks from the JVM, which
+    # inherits this process's env) and mirrored to spark.executorEnv.* for
+    # real clusters. Two independent pathologies these close:
+    # - glibc munmap churn: pandas/numpy free >128KB buffers straight back
+    #   to the kernel (mmap/munmap per Arrow batch). Every munmap is a TLB
+    #   shootdown IPI to every CPU running the process — cheap on bare
+    #   metal, brutal on virtualized/oversubscribed hosts where the target
+    #   vCPU must be scheduled to ack. Raising the thresholds keeps the
+    #   buffers in the heap (measured on the 4×6-core executor emulation:
+    #   −26% pages freed, −23% kernel time for the identical build).
+    # - BLAS thread oversubscription: numpy's OpenBLAS/OMP pools default to
+    #   the node's visible core count PER WORKER — N workers × N threads
+    #   on N cores. Spark already owns the parallelism; the worker should
+    #   be single-threaded (also shrinks the munmap IPI fanout above).
+    _worker_env = {
+        "MALLOC_MMAP_THRESHOLD_": "268435456",
+        "MALLOC_TRIM_THRESHOLD_": "268435456",
+        # route Arrow buffers through the (now churn-free) glibc heap
+        # instead of the bundled jemalloc, whose timed decay purge gives
+        # the pages back to the kernel between batches
+        "ARROW_DEFAULT_MEMORY_POOL": "system",
+        "OMP_NUM_THREADS": "1",
+        "OPENBLAS_NUM_THREADS": "1",
+        "MKL_NUM_THREADS": "1",
+    }
+    for k, v in _worker_env.items():
+        os.environ.setdefault(k, v)
     if shuffle_partitions is None:
         # local[N] → N; on a cluster you'd size this to 2-3× total cores.
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
@@ -75,6 +103,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("LLMRS_UDS", "1") != "0":
+        # Route the JVM↔python-worker Arrow channel over Unix domain sockets
+        # instead of loopback TCP (Spark 4.1, SPARK-51338). The channel is
+        # always node-local, so UDS is semantically identical on a real
+        # cluster; it skips the TCP stack (checksums, netfilter, socket
+        # wakeup path). Measured here: the tokenize stage's kernel time
+        # under 4 concurrent JVMs drops from ~60% of all pinned cores to
+        # <10% — loopback tcp_recvmsg wakeups were serializing the
+        # emulated executors (BENCH/BASELINE.md round-5 notes).
+        builder = builder.config("spark.python.unix.domain.socket.enabled", "true")
+    for k, v in _worker_env.items():
+        builder = builder.config(f"spark.executorEnv.{k}", os.environ[k])
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
