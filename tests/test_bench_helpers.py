@@ -65,3 +65,17 @@ def test_pin_prefix_mask_is_valid_for_current_box(bench, monkeypatch):
         capture_output=True, text=True, check=True,
     )
     assert out.stdout.strip() == "6"
+
+
+def test_cpu_ticks_shape_and_monotonicity(bench):
+    a = bench._cpu_ticks()
+    b = bench._cpu_ticks()
+    # user nice sys idle iowait irq softirq steal (at least 8 fields)
+    assert len(a) >= 8
+    assert all(y >= x for x, y in zip(a, b)), "tick counters are cumulative"
+
+
+def test_steal_pct_default_and_range(bench):
+    # before any emulation runs the module-level reading is 0; after one it
+    # must be a percentage (the recorded raw pairs embed it verbatim)
+    assert 0.0 <= bench.LAST_EMU_STEAL_PCT <= 100.0

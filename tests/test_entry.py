@@ -89,3 +89,23 @@ def test_entry_smoke(spark):
     rows = df.count()
     assert rows > 0
     assert set(df.columns) == {"qid", "docid", "rank", "score"}
+
+
+def test_worker_env_hygiene_defaults(spark):
+    """get_spark ships the python-worker env (allocator anti-churn, BLAS=1)
+    both into this process's env (local mode: the JVM forks workers from
+    it) and into spark.executorEnv.* for real clusters (see session.py and
+    BENCH/HOST_CEILING_r05.md for the measurements behind each knob)."""
+    import os as _os
+
+    for key, expected in [
+        ("OMP_NUM_THREADS", "1"),
+        ("OPENBLAS_NUM_THREADS", "1"),
+        ("MALLOC_MMAP_THRESHOLD_", "268435456"),
+        ("ARROW_DEFAULT_MEMORY_POOL", "system"),
+    ]:
+        assert _os.environ.get(key), f"{key} missing from process env"
+        assert spark.conf.get(f"spark.executorEnv.{key}") == _os.environ[key]
+    # the node-local worker channel rides Unix domain sockets (Spark 4.1)
+    if _os.environ.get("LLMRS_UDS", "1") != "0":
+        assert spark.conf.get("spark.python.unix.domain.socket.enabled") == "true"
