@@ -731,6 +731,26 @@ def main() -> None:
                 (role, med["thr1"], med["thr4"], med["thr4"] / (4.0 * med["thr1"]))
             )
 
+        # engine-free control at the EXACT unsat protocol (1 vs 4 pinned
+        # 2-core JVMs, barrier-started, minimal pandas UDF): the ceiling
+        # the multi-JVM protocol itself permits on this box
+        control_emu_pairs: list[dict] = []
+        _ce_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "control_emu.py")
+        if os.path.exists(_ce_path):
+            import subprocess
+
+            out = subprocess.run(
+                [sys.executable, _ce_path, str(emu_passes), emu_input_u],
+                capture_output=True, text=True,
+            )
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        control_emu_pairs.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write("# BENCH — two-point scaling evidence (N vs 4N cores, CPU-pinned)\n\n")
@@ -901,6 +921,21 @@ def main() -> None:
                         f"4 JVMs {p['thr4']:.1f}/s (wall {p['wall4']}s), "
                         f"pair efficiency {p['thr4'] / (4 * p['thr1']):.3f}"
                         f" [host steal {p.get('steal1', 0)}% / {p.get('steal4', 0)}%]\n"
+                    )
+            if control_emu_pairs:
+                f.write(
+                    "\nEngine-free control at the SAME protocol (1 vs 4 barrier-started "
+                    "pinned 2-core JVMs running a minimal pandas UDF over hash slices of "
+                    "the same corpus — BENCH/control_emu.py, zero engine code). The build "
+                    "rows above should be read against THIS ceiling — it is what the "
+                    "multi-JVM protocol itself permits on this box:\n\n"
+                )
+                for p in control_emu_pairs:
+                    f.write(
+                        f"- control pass {p['pass']}: 1 JVM {p['thr1']}/s (wall {p['wall1']}s), "
+                        f"4 JVMs {p['thr4']}/s (wall {p['wall4']}s), "
+                        f"pair efficiency {p['eff']:.3f}"
+                        f" [host steal {p['steal1']}% / {p['steal4']}%]\n"
                     )
         print(
             json.dumps(
