@@ -688,7 +688,11 @@ def main() -> None:
         # 4-JVM point (walls recorded — judge the fixed-cost share on raws).
         unsat_cores = os.environ.get("LLMRS_EMU_CORES_UNSAT", "2")
         emu_docs_unsat = int(os.environ.get("SPARK_GRAFT_EMU_DOCS_UNSAT", "100000"))
-        emu_q_unsat = os.environ.get("LLMRS_EMU_QUERIES_UNSAT", "1024")
+        # 4096, not 1024: at 1024 the 4-JVM point's wall is ~10-12 s, of
+        # which ~2 s is fixed per-batch cost (plan + job scheduling) — the
+        # ratio was floored at ~0.5 by the constant, not by scaling. 4× the
+        # batch puts the fixed share under 5% at the upper point.
+        emu_q_unsat = os.environ.get("LLMRS_EMU_QUERIES_UNSAT", "4096")
         emu_input_u = os.path.join(tempfile.gettempdir(), f"llmrs_emu_input_{emu_docs_unsat}")
         spark = get_spark(app_name="emu_prep_unsat", master="local[32]")
         if not os.path.exists(os.path.join(emu_input_u, "_SUCCESS")):
