@@ -109,7 +109,12 @@ def tokens_col(col: Column | str, mode: str = "code") -> Column:
             return s.map(lambda x: tokenize_simple(x) if x is not None else [])
         return s.map(lambda x: tokenize_code(x) if x is not None else [])
 
-    return _tok(F.col(col) if isinstance(col, str) else col)
+    # asNondeterministic stops the optimizer pushing a derived filter below
+    # the UDF and thereby evaluating it TWICE per row (observed: the explode
+    # consumers' implicit size/notnull filter split every tokenize into two
+    # stacked ArrowEvalPython nodes — the guide-§4.4 pattern). The function
+    # is of course deterministic; the flag only constrains the optimizer.
+    return _tok.asNondeterministic()(F.col(col) if isinstance(col, str) else col)
 
 
 TERM_COUNTS_TYPE = T.ArrayType(
@@ -138,4 +143,5 @@ def term_counts_col(col: Column | str, mode: str = "code") -> Column:
     def _cnt(s: pd.Series) -> pd.Series:
         return s.map(count)
 
-    return _cnt(F.col(col) if isinstance(col, str) else col)
+    # same duplicate-evaluation guard as tokens_col (guide §4.4)
+    return _cnt.asNondeterministic()(F.col(col) if isinstance(col, str) else col)

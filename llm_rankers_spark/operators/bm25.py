@@ -903,11 +903,48 @@ def bm25_dataframe_from_index(index: InvertedIndex, queries: DataFrame, k: int =
     Scores on doc ORDINALS and attaches docids only to the final top-k
     rows (ordinals are docid-ordered, so the (score desc, ord asc)
     tie-break equals the docid tie-break) — the corpus-wide ord→docid join
-    never runs."""
+    never runs.
+
+    Query-side plan (round-6): a reranking-sized batch (bounded
+    ``limit(N+1).collect()`` probe, the same small-side cutoff as
+    :func:`search`) is tokenized DRIVER-side with the shared tokenizer into
+    a (qid, term, qw) local relation — the round-5 plan re-tokenized the
+    batch through THREE separate ArrowEvalPython+explode+aggregate subtrees
+    (qt join, term semi-join, df semi-join), each with its own exchanges.
+    The batch's term list then reaches the forward-table scan as an IN
+    PushedFilter instead of a broadcast semi-join. qw values and every
+    scoring expression are unchanged, so scores are identical. Larger
+    batches keep the fully-declarative subtree."""
     m = index.meta
     k1, b, n_docs, avgdl = m.k1, m.b, float(m.n_docs), float(m.avgdl)
-    qt = query_terms(queries, m.tokenizer_mode)
-    td_f = index.forward_ords.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
+    qrows = queries.select("qid", "query").limit(DRIVER_QUERY_PLAN_MAX + 1).collect()
+    if len(qrows) <= DRIVER_QUERY_PLAN_MAX:
+        from collections import Counter
+
+        from llm_rankers_spark.functions.tokenize import tokenize
+
+        data = [
+            (r["qid"], t, int(c))
+            for r in qrows
+            for t, c in sorted(Counter(tokenize(r["query"] or "", m.tokenizer_mode)).items())
+        ]
+        if not data:
+            return queries.sparkSession.createDataFrame(
+                [], "qid string, docid string, rank int, score double"
+            )
+        qt = F.broadcast(
+            queries.sparkSession.createDataFrame(data, "qid string, term string, qw long")
+        )
+        terms = sorted({t for _, t, _ in data})
+        if len(terms) <= 512:
+            td_f = index.forward_ords.filter(F.col("term").isin(terms))
+        else:
+            td_f = index.forward_ords.join(
+                F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+            )
+    else:
+        qt = query_terms(queries, m.tokenizer_mode)
+        td_f = index.forward_ords.join(F.broadcast(qt.select("term").distinct()), "term", "left_semi")
     # per-term df via a SLIM second scan (term column only, map-side
     # combined to <= batch-terms rows) broadcast back onto the scoring rows.
     # The round-3/4 window (count() OVER (PARTITION BY term)) shuffled every

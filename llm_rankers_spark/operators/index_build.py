@@ -159,20 +159,18 @@ def _ordinals_auto(
     Returns (ords_df, n_docs, slim_handle_or_None); callers must unpersist
     the handle when present (slim path only)."""
     spark = docs_slim.sparkSession
-    # bounded probe, not a full count: limit(N+1) short-circuits the scan,
-    # so large COMPUTED inputs (filtered/derived frames, not bare parquet)
-    # don't pay an extra full pass just to learn they're big (round-4
-    # review finding)
-    n = docs_slim.limit(DRIVER_ORDINALS_MAX + 1).count()
+    # bounded probe and collect FUSED into one job (round-6): limit(N+1)
+    # short-circuits the scan, so large COMPUTED inputs never pay a full
+    # pass just to learn they're big (round-4 review finding), at most
+    # N+1 rows ever reach the driver, and — because the count comes from
+    # the very rows materialized — the probe/collect disagreement a
+    # non-deterministic input frame could produce (round-4 ADVICE) is
+    # structurally gone
+    rows = docs_slim.limit(DRIVER_ORDINALS_MAX + 1).collect()
+    n = len(rows)
     if n <= DRIVER_ORDINALS_MAX:
-        rows = docs_slim.collect()
-        # the probe and the collect are two separate jobs — for a
-        # non-deterministic input frame they can disagree, so the count the
-        # caller records MUST come from the rows actually materialized
-        # (round-4 ADVICE), re-checked against the cap
-        n = len(rows)
         ids = [r[0] for r in rows]
-        if n <= DRIVER_ORDINALS_MAX and len(set(ids)) == len(ids):
+        if len(set(ids)) == len(ids):
             order = sorted(range(len(ids)), key=lambda i: ids[i])
             extra = "".join(f", {c} {t}" for c, t in extra_cols)
             data = [(*rows[i], o) for o, i in enumerate(order)]
