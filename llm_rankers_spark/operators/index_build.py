@@ -237,6 +237,7 @@ def _pack_and_write(
     spark: SparkSession, td: DataFrame, path: str, avgdl: float, k1: float, b: float,
     bake_df: bool = True, pack_group: str = "auto", num_buckets: int = NUM_BUCKETS,
     n_docs: int | None = None, explain_out: dict | None = None,
+    postings_rows: int | None = None,
 ) -> None:
     """Pack posting lists per (term, shard) and write hive-partitioned by
     term bucket. ``td``: (ord, dl, term, tf, shard) real postings only.
@@ -269,10 +270,18 @@ def _pack_and_write(
     if pack_group not in ("auto", "bucket", "shard_bucket"):
         raise ValueError(f"unknown pack_group {pack_group!r}")
     if pack_group == "auto":
-        # rows-per-bucket estimate from stats already in hand (n_docs ×
-        # avgdl ≈ total postings rows) — no extra job. Unknown n_docs
-        # (direct internal callers) keeps the small-corpus default.
-        est = (n_docs * max(avgdl, 1.0) / num_buckets) if n_docs else 0.0
+        # rows-per-bucket from the EXACT postings-row count when the caller
+        # has it (round-5 verdict #5: build_index observes the tf>0 row
+        # count on the checkpoint write — no extra job, and the cutover no
+        # longer overshoots by the corpus's tf ratio). Fallback: the
+        # n_docs × avgdl estimate (avgdl counts token occurrences, actual
+        # rows are distinct terms per doc, so it overestimates — the
+        # conservative direction: flips to shard_bucket early). Unknown
+        # n_docs (direct internal callers) keeps the small-corpus default.
+        if postings_rows is not None:
+            est = postings_rows / num_buckets
+        else:
+            est = (n_docs * max(avgdl, 1.0) / num_buckets) if n_docs else 0.0
         pack_group = "bucket" if est <= PACK_BUCKET_MAX_GROUP_ROWS else "shard_bucket"
     in_group_df = bake_df and pack_group == "bucket"
 
@@ -677,6 +686,9 @@ def build_index(
             obs,
             F.sum(F.when(F.col("first"), F.col("dl"))).alias("sum_dl"),
             F.sum(F.when(F.col("first"), F.crc32(F.col("docid")))).alias("crc"),
+            # exact postings-row count (tf>0; sentinels excluded) rides the
+            # same write — feeds the pack-mode cutover with actual rows
+            F.sum(F.when(F.col("tf") > 0, F.lit(1)).otherwise(F.lit(0))).alias("postings_rows"),
         )
         .write.mode("overwrite")
         .option("compression", os.environ.get("LLMRS_CKPT_CODEC", "zstd"))
@@ -710,6 +722,7 @@ def build_index(
     _pack_and_write(
         spark, td, path, avgdl, k1, b, bake_df=bake_df, pack_group=pack_group,
         num_buckets=num_buckets, n_docs=n_docs, explain_out=explain_out,
+        postings_rows=int(stats["postings_rows"] or 0),
     )
     _phase("pack_write")
 

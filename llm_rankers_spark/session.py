@@ -160,8 +160,15 @@ def get_spark(
         "OPENBLAS_NUM_THREADS": "1",
         "MKL_NUM_THREADS": "1",
     }
-    for k, v in _worker_env.items():
-        os.environ.setdefault(k, v)
+    # LLMRS_HOST_ENV_HYGIENE=0 skips the host-process os.environ mutation
+    # (round-5 ADVICE: a host application embedding this library may not
+    # want its own driver-side BLAS/allocator behavior changed). Local-mode
+    # python workers fork from the JVM, which inherits this process's env,
+    # so the default stays on; real clusters get the same values via the
+    # spark.executorEnv.* confs below either way.
+    if os.environ.get("LLMRS_HOST_ENV_HYGIENE", "1") != "0":
+        for k, v in _worker_env.items():
+            os.environ.setdefault(k, v)
     if shuffle_partitions is None:
         # local[N] → N; on a cluster you'd size this to 2-3× total cores.
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
@@ -191,7 +198,7 @@ def get_spark(
         # emulated executors (BENCH/BASELINE.md round-5 notes).
         builder = builder.config("spark.python.unix.domain.socket.enabled", "true")
     for k, v in _worker_env.items():
-        builder = builder.config(f"spark.executorEnv.{k}", os.environ[k])
+        builder = builder.config(f"spark.executorEnv.{k}", os.environ.get(k, v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -223,6 +223,29 @@ def test_pack_group_auto_resolves_by_scale(spark, corpus, queries, tmp_path_fact
     assert a == b and len(a) > 0
 
 
+def test_pack_auto_uses_exact_postings_rows(spark, corpus, tmp_path_factory, monkeypatch):
+    # round-5 verdict #5: the 'auto' cutover input is the EXACT postings-row
+    # count observed on the checkpoint write (not the n_docs x avgdl
+    # estimate, which overshoots by the corpus tf ratio) — assert the value
+    # handed to _pack_and_write equals the rows actually packed
+    from pyspark.sql import functions as F
+
+    from llm_rankers_spark.operators import index_build as ib
+
+    seen = {}
+    orig = ib._pack_and_write
+
+    def spy(*args, **kw):
+        seen["postings_rows"] = kw.get("postings_rows")
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(ib, "_pack_and_write", spy)
+    p = str(tmp_path_factory.mktemp("idx_exactrows"))
+    idx = build_index(corpus.select("docid", "content", "content_sha256"), p, num_shards=4)
+    actual = idx.postings.agg(F.sum("n")).collect()[0][0]
+    assert seen["postings_rows"] == actual and actual > 0
+
+
 def test_merge_auto_resolves_by_shard_count(spark, corpus, queries, index, tmp_path_factory):
     # merge='auto' (now the default): <=32 shards -> single window; >32
     # shards -> fanin-8 tree (extra fold level visible as a second Window),
