@@ -25,9 +25,13 @@ def worker(i: int, n: int, input_path: str, sync_dir: str) -> None:
     from pyspark.sql import SparkSession, functions as F
     from pyspark.sql.functions import pandas_udf
 
+    # core width from the SAME env the engine's unsat pairs honor
+    # (round-5 ADVICE: hardcoding 2 silently diverged from the protocol
+    # when LLMRS_EMU_CORES_UNSAT was overridden)
+    cores = os.environ.get("LLMRS_EMU_CORES_UNSAT", "2")
     spark = (
-        SparkSession.builder.master("local[2]").appName(f"control_emu_{i}")
-        .config("spark.sql.shuffle.partitions", "2")
+        SparkSession.builder.master(f"local[{cores}]").appName(f"control_emu_{i}")
+        .config("spark.sql.shuffle.partitions", cores)
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -61,7 +65,7 @@ def run_point(n: int, input_path: str) -> tuple[float, float, float]:
     sync_dir = tempfile.mkdtemp(prefix="control_emu_")
     procs = []
     saved = os.environ.get("LLMRS_EMU_CORES")
-    os.environ["LLMRS_EMU_CORES"] = "2"
+    os.environ["LLMRS_EMU_CORES"] = os.environ.get("LLMRS_EMU_CORES_UNSAT", "2")
     try:
         for i in range(n):
             procs.append(subprocess.Popen(
@@ -79,6 +83,11 @@ def run_point(n: int, input_path: str) -> tuple[float, float, float]:
         for p in procs:
             p.wait()
         d = [b - a for a, b in zip(c0, bench._cpu_ticks())]
+        # descriptive failure instead of a FileNotFoundError on out_i.json
+        # when a worker died mid-measurement (round-5 ADVICE)
+        dead = [i for i, p in enumerate(procs) if p.returncode != 0]
+        if dead:
+            raise RuntimeError(f"control worker(s) {dead} exited non-zero after the barrier")
         outs = [json.load(open(os.path.join(sync_dir, f"out_{i}.json"))) for i in range(n)]
         rows = sum(o["rows"] for o in outs)
         wall = max(o["wall"] for o in outs)

@@ -218,9 +218,25 @@ SQL_VERIFY_INDEX = "SELECT true AS ok, 0::BIGINT AS n_mismatches"
 def q_bm25_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 large-batch twin: the fully-distributed query plan (cogrouped
     (qid, term, w) DataFrame, no queries.collect — bm25.search_distributed);
-    must match the same oracle as the driver-planned paths."""
-    idx = _entry_index(spark, sf_dir)
-    res = bm25_ops.search_distributed(idx, _queries_df(spark), k=10, method="wand")
+    must match the same oracle as the driver-planned paths.
+
+    Round-6 (round-5 verdict #8): this entry now builds ITS index through
+    the NON-default resolutions — ``pack_group='shard_bucket'`` (slim-df
+    broadcast bake) and searches with the ``merge='tree'`` fold — so the
+    scale-side branches of both autos are driver-oracled, not only
+    pytest-covered. Results are identical to the defaults by construction
+    (pack modes pack the same lists; the tree merge is row-identical —
+    both pinned in test_bm25) against the unchanged oracle SQL."""
+    docs = driver_documents(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"llmrs_entry_idx_sb_{tag}")
+    idx = build_index(
+        docs.select("docid", "content", "content_sha256"), path,
+        tokenizer_mode="simple", num_shards=4, resume=True, pack_group="shard_bucket",
+    )
+    res = bm25_ops.search_distributed(
+        idx, _queries_df(spark), k=10, method="wand", merge="tree", merge_fanin=2
+    )
     return res.select(
         "qid", "docid", F.col("rank").cast("long").alias("rank"), F.round("score", 4).alias("score")
     )
