@@ -106,7 +106,11 @@ def _warm_session(spark: SparkSession) -> None:
         cached.unpersist()
         d = tempfile.mkdtemp(prefix="llmrs_warm_")
         try:
-            spark.range(0, 2, 1, 1).write.mode("overwrite").parquet(d)
+            # zstd: the codec the build's checkpoint writes use — its
+            # native-library first-use otherwise lands in the first build
+            spark.range(0, 2, 1, 1).write.mode("overwrite").option(
+                "compression", "zstd"
+            ).parquet(d)
             spark.read.parquet(d).count()
         finally:
             import shutil
