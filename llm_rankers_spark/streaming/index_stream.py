@@ -80,15 +80,33 @@ def start_index_stream(
     )
 
 
-def segment_stats(spark: SparkSession, root: str) -> tuple[int, float, DataFrame]:
-    """Global (N, avgdl, df-table) across all registered segments."""
+def segment_stats(
+    spark: SparkSession, root: str, terms: list[str] | None = None
+) -> tuple[int, float, DataFrame]:
+    """Global (N, avgdl, df-table) across all registered segments.
+
+    With ``terms`` (the query batch's term list), each segment's df scan is
+    bucket-pruned and term-filtered BEFORE the aggregate — per-term sums
+    are unchanged, but the full-vocabulary union+groupBy (a per-batch scan
+    of every segment's whole term space — the round-6 audit's scale
+    finding) never runs."""
+    from llm_rankers_spark.operators.bm25 import _bucket_pruned
+
     segs = [load_index(spark, os.path.join(root, s)) for s in list_segments(root)]
     n = sum(s.meta.n_docs for s in segs)
     total_len = sum(s.meta.avgdl * s.meta.n_docs for s in segs)
     avgdl = total_len / n if n else 0.0
     df_all = None
     for s in segs:
-        d = s.term_stats.select("term", "df")
+        p = s.postings
+        if terms is not None:
+            p = _bucket_pruned(p, s.meta, terms)
+            if len(terms) <= 512:
+                p = p.filter(F.col("term").isin(terms))
+            else:
+                t_df = spark.createDataFrame([(t,) for t in terms], "term string")
+                p = p.join(F.broadcast(t_df), "term", "left_semi")
+        d = p.groupBy("term").agg(F.sum("n").alias("df"))
         df_all = d if df_all is None else df_all.unionByName(d)
     merged_df = df_all.groupBy("term").agg(F.sum("df").alias("df")) if df_all is not None else None
     return n, avgdl, merged_df
@@ -100,13 +118,41 @@ def search_segments(spark: SparkSession, root: str, queries: DataFrame, k: int =
     Each segment is searched with the shared search() operator but with a
     global-stats override (idf/avgdl must be cross-segment — Lucene
     semantics); per-segment docids are disjoint so the merge is a plain
-    window top-k."""
-    n, avgdl, merged_df = segment_stats(spark, root)
-    if merged_df is None:
+    window top-k.
+
+    Round-6: for reranking-sized batches (the bounded ``limit(N+1)``
+    probe shared with search()) the batch's terms are tokenized
+    driver-side, the cross-segment df table is computed over exactly those
+    terms (see :func:`segment_stats`) and COLLECTED into a local relation
+    — so the per-segment searches reuse it with no recompute and no
+    persisted intermediate left behind (the round-5 version persisted a
+    full-vocabulary table it could never unpersist)."""
+    from collections import Counter
+
+    from llm_rankers_spark.functions.tokenize import tokenize
+    from llm_rankers_spark.operators.bm25 import DRIVER_QUERY_PLAN_MAX
+
+    seg_names = list_segments(root)
+    if not seg_names:
         return spark.createDataFrame([], "qid string, docid string, rank int, score double, tag string")
-    merged_df = merged_df.persist()
+    mode = load_index(spark, os.path.join(root, seg_names[0])).meta.tokenizer_mode
+    qrows = queries.select("qid", "query").limit(DRIVER_QUERY_PLAN_MAX + 1).collect()
+    terms = None
+    if len(qrows) <= DRIVER_QUERY_PLAN_MAX:
+        counts = [Counter(tokenize(r["query"] or "", mode)) for r in qrows]
+        terms = sorted({t for c in counts for t in c})
+    n, avgdl, merged_df = segment_stats(spark, root, terms=terms)
+    if merged_df is None or (terms is not None and not terms):
+        return spark.createDataFrame([], "qid string, docid string, rank int, score double, tag string")
+    if terms is not None:
+        rows = [(r["term"], int(r["df"])) for r in merged_df.collect()]
+        merged_df = spark.createDataFrame(rows, "term string, df long") if rows else None
+        if merged_df is None:
+            return spark.createDataFrame([], "qid string, docid string, rank int, score double, tag string")
+    else:
+        merged_df = merged_df.persist()
     out = None
-    for seg_name in list_segments(root):
+    for seg_name in seg_names:
         idx = load_index(spark, os.path.join(root, seg_name))
         part = search(idx, queries, k=k, method="wand", stats_override=(n, avgdl, merged_df))
         out = part if out is None else out.unionByName(part)
